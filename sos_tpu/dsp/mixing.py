@@ -1,0 +1,255 @@
+"""SNR-controlled noise mixing and bitstream -> sample-mask machinery.
+
+Reproduces the reference's audio mixing core (m1 tools.py:770-869) and the
+silent-interval sample masks used by both stages (m1 tools.py:770-792,
+m2 dataset.py:167-190), including its quirks:
+
+* each video-frame bit writes samples `[int(b*r), int((b+1)*r - 1))`,
+  leaving a 1-sample gap at every frame boundary that is later healed by
+  the run-length despeckle filter (runs shorter than 5 samples flip);
+* mixtures are peak-normalized jointly with the clean/noise components
+  (norm=0.5, m1 dataset.py:254,274).
+
+Two implementations of each op:
+* `*_np` — host-side numpy, loop-exact against the reference (used by
+  dataset bookkeeping and tests);
+* jnp versions — vectorized/jittable, used by the on-device mixing stage
+  inside the training step (the TPU replacement for the reference's 60-70
+  DataLoader worker processes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Power / SNR mixing
+# ---------------------------------------------------------------------------
+
+
+def signal_power(x: jnp.ndarray, axis=-1) -> jnp.ndarray:
+    """sum(|x|^2) (reference `power_of_signal`, m1 tools.py:800-801)."""
+    return jnp.sum(jnp.abs(x * x), axis=axis)
+
+
+def signal_power_np(x: np.ndarray) -> np.ndarray:
+    return np.sum(np.abs(x ** 2))
+
+
+def mix_at_snr(
+    signal: jnp.ndarray,
+    noise: jnp.ndarray,
+    snr_db: jnp.ndarray,
+    norm: Optional[float] = 0.5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Scale `noise` to `snr_db` below `signal` and mix; peak-normalize jointly.
+
+    Vectorized equivalent of the reference `add_signals`
+    (m1 tools.py:804-843) for batched `(..., L)` inputs and per-item snr.
+    Returns (mixed, clean, noise) — all scaled by the same factor.
+    """
+    snr_db = jnp.asarray(snr_db, dtype=signal.dtype)
+    p_sig = signal_power(signal)
+    p_noise = signal_power(noise)
+    pn = p_sig / jnp.power(10.0, snr_db / 10.0)
+    ratio = jnp.sqrt(p_noise) / jnp.sqrt(jnp.maximum(pn, 1e-30))
+    safe_ratio = jnp.where(ratio == 0, 1.0, ratio)
+    scaled_noise = noise / safe_ratio[..., None]
+    # signal_power == 0 -> add the noise unscaled (reference branch)
+    scaled_noise = jnp.where((p_sig == 0)[..., None], noise, scaled_noise)
+    mixed = signal + scaled_noise
+    if norm:
+        scale = jnp.max(jnp.abs(mixed), axis=-1) / norm
+        scale = jnp.where(scale == 0, 1.0, scale)[..., None]
+        return mixed / scale, signal / scale, scaled_noise / scale
+    return mixed, signal, scaled_noise
+
+
+def mix_at_snr_np(
+    signal: np.ndarray,
+    noise: np.ndarray,
+    snr_db: float,
+    norm: Optional[float] = 0.5,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side reference-exact `add_signals` (m1 tools.py:804-843)."""
+    p_sig = signal_power_np(signal)
+    mixed = np.copy(signal)
+    if p_sig == 0:
+        new_noise = noise
+    else:
+        pn = p_sig / np.power(10.0, snr_db / 10.0)
+        ratio = np.sqrt(signal_power_np(noise)) / np.sqrt(pn)
+        new_noise = noise if ratio == 0 else noise / ratio
+    mixed = mixed + new_noise
+    if norm:
+        scale = np.max(np.abs(mixed)) / norm
+        if scale != 0:
+            return mixed / scale, signal / scale, new_noise / scale
+    return mixed, signal, new_noise
+
+
+def crop_noise_np(
+    noise: np.ndarray,
+    target_len: int,
+    start: Optional[int] = None,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Crop (and zero-pad) a noise track to `target_len` samples.
+
+    Reference `add_noise_to_audio` crop logic (m1 tools.py:846-866).
+    """
+    if start is None:
+        slack = len(noise) - target_len
+        if slack > 0:
+            rng = rng or np.random.default_rng()
+            start = int(rng.integers(0, slack + 1))
+        elif slack == 0:
+            start = 0
+        else:
+            raise ValueError(
+                f"noise shorter than target: {len(noise)} < {target_len}")
+    cropped = noise[start:start + target_len]
+    if len(cropped) < target_len:
+        cropped = np.concatenate(
+            [cropped, np.zeros(target_len - len(cropped), dtype=cropped.dtype)])
+    return cropped
+
+
+# ---------------------------------------------------------------------------
+# Bitstream -> sample masks
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def frame_sample_matrix(
+    num_frames: int, num_samples: int, ratio: float
+) -> np.ndarray:
+    """(num_frames, num_samples) 0/1 assignment matrix A.
+
+    A[f, i] = 1 iff sample i is written by frame f, i.e.
+    int(f*ratio) <= i < int((f+1)*ratio) - 1 — reproducing the reference's
+    1-sample frame-boundary gap (m1 tools.py:772-778). Gap samples and the
+    tail beyond the bitstream have all-zero columns. Mask construction is
+    then the matmul `(1 - bits) @ A`, which rides the MXU on device.
+    """
+    a = np.zeros((num_frames, num_samples), dtype=np.float32)
+    for f in range(num_frames):
+        lo = int(f * ratio)
+        hi = int((f + 1) * ratio - 1)
+        a[f, lo:min(hi, num_samples)] = 1.0
+    return a
+
+
+def bitstream_to_sample_mask_np(
+    bits: np.ndarray, ratio: float, num_samples: int, despeckle_min_run: int = 5
+) -> np.ndarray:
+    """Silence sample mask (1=silent) from per-frame bits (0=silent, 1=voiced).
+
+    Host-exact `convert_bitstreammask_to_audiomask` (m1 tools.py:770-792):
+    frame writes with the boundary gap, then runs shorter than
+    `despeckle_min_run` are flipped.
+    """
+    bits = np.asarray(bits, dtype=np.float32)
+    a = frame_sample_matrix(len(bits), num_samples, ratio)
+    mask = (1.0 - bits) @ a
+    return despeckle_mask_np(mask, despeckle_min_run)
+
+
+def bitstream_to_sample_mask(
+    bits: jnp.ndarray, ratio: float, num_samples: int, despeckle_min_run: int = 5
+) -> jnp.ndarray:
+    """Device-side batched version: bits `(..., num_frames)` -> mask `(..., num_samples)`."""
+    a = jnp.asarray(frame_sample_matrix(bits.shape[-1], num_samples, ratio))
+    mask = jnp.matmul(1.0 - bits.astype(jnp.float32), a,
+                      precision=jax.lax.Precision.HIGHEST)
+    return despeckle_mask(mask, despeckle_min_run)
+
+
+def despeckle_mask_np(mask: np.ndarray, min_run: int = 5) -> np.ndarray:
+    """Flip 0/1 runs shorter than `min_run` (based on the original runs)."""
+    mask = np.asarray(mask, dtype=np.float32).copy()
+    n = len(mask)
+    if n == 0:
+        return mask
+    change = np.ones(n, dtype=bool)
+    change[1:] = mask[1:] != mask[:-1]
+    run_id = np.cumsum(change) - 1
+    run_len = np.bincount(run_id)
+    flip = run_len[run_id] < min_run
+    mask[flip] = 1.0 - mask[flip]
+    return mask
+
+
+def despeckle_mask(mask: jnp.ndarray, min_run: int = 5) -> jnp.ndarray:
+    """Vectorized run-length despeckle for `(..., L)` 0/1 masks.
+
+    Same semantics as the reference's groupby loop (m1 tools.py:784-790):
+    run membership is computed on the *original* mask, all short runs flip.
+    """
+    length = mask.shape[-1]
+    change = jnp.concatenate(
+        [jnp.ones(mask.shape[:-1] + (1,), dtype=jnp.int32),
+         (mask[..., 1:] != mask[..., :-1]).astype(jnp.int32)],
+        axis=-1,
+    )
+    run_id = jnp.cumsum(change, axis=-1) - 1  # (..., L), values in [0, L)
+
+    def _one(mask_1d, run_id_1d):
+        run_len = jax.ops.segment_sum(
+            jnp.ones_like(run_id_1d), run_id_1d, num_segments=length)
+        flip = run_len[run_id_1d] < min_run
+        return jnp.where(flip, 1.0 - mask_1d, mask_1d)
+
+    flat_mask = mask.reshape(-1, length)
+    flat_rid = run_id.reshape(-1, length)
+    out = jax.vmap(_one)(flat_mask, flat_rid)
+    return out.reshape(mask.shape)
+
+
+# ---------------------------------------------------------------------------
+# Bitstream string helpers (host)
+# ---------------------------------------------------------------------------
+
+
+def truncate_padding(bitstream: str) -> Tuple[int, int]:
+    """Indices (start, end) trimming leading/trailing '2' padding chars.
+
+    Reference `truncate` (m1 tools.py:270-274) returns (idx, -idx2); here
+    `end` is a normal positive end index. Raises if the stream has no '2'
+    padding on either side (callers fall back to the full span, matching
+    the reference's try/except at tools.py:305-309).
+    """
+    n = len(bitstream)
+    start = 0
+    while start < n and bitstream[start] == "2":
+        start += 1
+    end = n
+    while end > start and bitstream[end - 1] == "2":
+        end -= 1
+    if start == 0 and end == n and ("2" not in bitstream):
+        return 0, n
+    return start, end
+
+
+def filter_bitstream(bits: str, min_silent_interval: int) -> str:
+    """Overwrite '0'-runs shorter than `min_silent_interval` with '1's.
+
+    Reference `filter_bitstream` (m1 tools.py:277-294).
+    """
+    out = list(bits)
+    i = 0
+    n = len(bits)
+    while i < n:
+        j = i
+        while j < n and bits[j] == bits[i]:
+            j += 1
+        if bits[i] == "0" and (j - i) < min_silent_interval:
+            for k in range(i, j):
+                out[k] = "1"
+        i = j
+    return "".join(out)

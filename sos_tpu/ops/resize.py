@@ -1,0 +1,40 @@
+"""torch.nn.functional.interpolate-compatible resizing.
+
+The detector resamples its conv features from the STFT frame grid (~178
+frames) to the 60-frame video grid with `F.interpolate(f_s, size=60)`
+(m1 networks.py:133) whose default mode is *nearest* with source index
+`floor(i * in/out)`. jax.image.resize uses half-pixel centers, which
+disagrees — so the exact index rule is reproduced here with a static
+gather (XLA folds it into a copy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _nearest_indices(in_len: int, out_len: int) -> np.ndarray:
+    # torch nearest (recompute_scale_factor default): src = floor(dst * in/out)
+    idx = np.floor(np.arange(out_len) * (in_len / out_len)).astype(np.int32)
+    return np.minimum(idx, in_len - 1)
+
+
+def nearest_resize_1d(x: jnp.ndarray, out_len: int, axis: int) -> jnp.ndarray:
+    """Nearest-neighbor resize along `axis` with torch index semantics."""
+    in_len = x.shape[axis]
+    if in_len == out_len:
+        return x
+    idx = jnp.asarray(_nearest_indices(in_len, out_len))
+    return jnp.take(x, idx, axis=axis)
+
+
+def linear_resize_2d(x: jnp.ndarray, out_hw, h_axis: int, w_axis: int) -> jnp.ndarray:
+    """Nearest 2-D resize used by InpaintNet's skip-shape fixups.
+
+    m2 networks.py:199-203 calls `F.interpolate(out, size)` (mode nearest)
+    when up-path shapes drift off the skip connections by one pixel.
+    """
+    x = nearest_resize_1d(x, out_hw[0], h_axis)
+    x = nearest_resize_1d(x, out_hw[1], w_axis)
+    return x

@@ -1,0 +1,22 @@
+"""Test environment: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding paths are exercised on a virtual CPU mesh; the real
+TPU is reserved for benchmarks (bench.py). Must run before jax imports.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
