@@ -1,0 +1,129 @@
+"""Stage-2 joint denoiser: noise inpainting U-Net + context aggregation mask net.
+
+Re-design of the reference `JointModel` (m2 networks.py:152-217):
+
+* :class:`InpaintNet` — dual-encoder U-Net that "inpaints" the full noise
+  spectrogram from (a) the silence-gated noise observation and (b) the
+  mixed signal. Downsampling uses reflection-padded strided convs, the
+  bottleneck stacks dilated convs (2/4/8/16), the decoder uses transposed
+  convs with skip concatenations and nearest-resize shape fixups.
+* :class:`ContextAggNet` — two dilated-conv encoders (mixed + predicted
+  noise), a BiLSTM over time, and an MLP head with sigmoid producing the
+  compressed complex ratio mask.
+* :class:`JointDenoiser` — `noise_pred = inpaint(gated_noise, mixed)` then
+  `mask = context(mixed, noise_pred)` (m2 networks.py:214-217).
+
+Layout: NHWC (B, F, T, 2); the mask head reshapes its 512-wide output to
+(B, F, T, 2) with the channel-major index rule of the reference's
+`view(B, 2, 256, T)` (m2 networks.py:92).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sos_tpu.config import DenoiserModelConfig
+from sos_tpu.models.layers import ConvBlock, DownConvBlock, TorchLinear, UpConvBlock
+from sos_tpu.ops.lstm import BiLSTM
+from sos_tpu.ops.resize import linear_resize_2d
+
+
+class InpaintNet(nn.Module):
+    """Noise-spectrogram inpainting U-Net (m2 networks.py:152-205)."""
+
+    channels: Tuple[int, int, int] = (64, 128, 256)
+
+    @nn.compact
+    def __call__(self, gated_noise: jnp.ndarray, mixed: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        ch1, ch2, ch3 = self.channels
+        dc = lambda f, k, s, d=1, **kw: DownConvBlock(
+            features=f, kernel_size=k, stride=s, dilation=d, train=train, **kw)
+
+        # Encoder A: silence-gated noise observation.
+        down1 = dc(ch1, 5, 1, name="a_in")(gated_noise)
+        down2 = dc(ch2, 5, 1, name="a_d2")(dc(ch2, 5, 2, name="a_d1")(down1))
+        # Encoder B: mixed signal.
+        down3 = dc(ch1, 5, 1, name="b_in")(mixed)
+        down4 = dc(ch2, 5, 1, name="b_d2")(dc(ch2, 5, 2, name="b_d1")(down3))
+
+        x = jnp.concatenate([down2, down4], axis=-1)
+        x = dc(ch3, 3, 2, name="mid0")(x)
+        x = dc(ch3, 3, 1, name="mid1")(x)
+        x = dc(ch3, 3, 1, 2, name="mid_dil2")(x)
+        x = dc(ch3, 3, 1, 4, name="mid_dil4")(x)
+        x = dc(ch3, 3, 1, 8, name="mid_dil8")(x)
+        x = dc(ch3, 3, 1, 16, name="mid_dil16")(x)
+        x = dc(ch3, 3, 1, name="mid2")(x)
+        x = dc(ch3, 3, 1, name="mid3")(x)
+        x = UpConvBlock(features=ch2, kernel_size=3, stride=2,
+                        train=train, name="mid_up")(x)
+
+        if x.shape[1:3] != down4.shape[1:3]:
+            x = linear_resize_2d(x, down4.shape[1:3], h_axis=1, w_axis=2)
+        x = jnp.concatenate([x, down4], axis=-1)
+        x = dc(ch2, 3, 1, name="up1_conv")(x)
+        x = UpConvBlock(features=ch1, kernel_size=3, stride=2,
+                        train=train, name="up1_up")(x)
+
+        if x.shape[1:3] != down3.shape[1:3]:
+            x = linear_resize_2d(x, down3.shape[1:3], h_axis=1, w_axis=2)
+        x = jnp.concatenate([x, down3], axis=-1)
+        x = dc(ch1, 3, 1, name="up2_conv")(x)
+        x = DownConvBlock(features=2, kernel_size=3, stride=1, norm=None,
+                          act=None, train=train, name="out")(x)
+        return x  # (B, F, T, 2): predicted full-noise spectrogram
+
+
+class ContextAggNet(nn.Module):
+    """Mask predictor over mixed + predicted-noise spectrograms (m2 networks.py:54-94)."""
+
+    cfg: DenoiserModelConfig = DenoiserModelConfig()
+
+    def _encoder(self, x, nf, outf, prefix, train):
+        cfg = self.cfg
+        for i, (ks, dil) in enumerate(zip(cfg.kernel_sizes, cfg.dilations)):
+            x = ConvBlock(features=nf, kernel_size=ks, dilation=dil,
+                          train=train, name=f"{prefix}{i}")(x)
+        x = ConvBlock(features=outf, kernel_size=(1, 1), dilation=(1, 1),
+                      train=train, name=f"{prefix}proj")(x)
+        # channel-major flatten: (B, F, T, C) -> (B, T, C*F)
+        b, f, t, c = x.shape
+        return jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f)
+
+    @nn.compact
+    def __call__(self, mixed: jnp.ndarray, noise_pred: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
+        cfg = self.cfg
+        f_x = self._encoder(mixed, cfg.nf_mixed, cfg.outf_mixed, "enc_x", train)
+        f_n = self._encoder(noise_pred, cfg.nf_mixed // 2, cfg.outf_noise,
+                            "enc_n", train)
+        h = jnp.concatenate([f_x, f_n], axis=-1)  # (B, T, 12*F/4... = 3072)
+        h = BiLSTM(hidden=cfg.lstm_hidden, name="lstm")(h)  # (B, T, 400)
+        h = nn.relu(TorchLinear(cfg.fc_hidden, name="fc0")(h))
+        h = nn.relu(TorchLinear(cfg.fc_hidden, name="fc1")(h))
+        h = nn.sigmoid(TorchLinear(cfg.freq_bins * 2, name="fc2")(h))
+        # (B, T, 2*F) -> (B, F, T, 2), channel-major like view(B,2,F,T)
+        b, t, _ = h.shape
+        h = h.reshape(b, t, 2, cfg.freq_bins)
+        return jnp.transpose(h, (0, 3, 1, 2))  # (B, F, T, 2)
+
+
+class JointDenoiser(nn.Module):
+    """InpaintNet -> ContextAggNet (m2 networks.py:208-217)."""
+
+    cfg: DenoiserModelConfig = DenoiserModelConfig()
+
+    def setup(self):
+        self.inpaint = InpaintNet(channels=self.cfg.inpaint_ch)
+        self.context = ContextAggNet(cfg=self.cfg)
+
+    def __call__(self, mixed: jnp.ndarray, gated_noise: jnp.ndarray,
+                 train: bool = False):
+        """Returns (noise_pred, compressed_crm), both (B, F, T, 2)."""
+        noise_pred = self.inpaint(gated_noise, mixed, train=train)
+        mask = self.context(mixed, noise_pred, train=train)
+        return noise_pred, mask

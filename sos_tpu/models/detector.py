@@ -1,0 +1,62 @@
+"""Stage-1 silent-interval detector.
+
+Re-design of the reference's `AudioVisualNet` (m1 networks.py:80-155; the
+video branch there is dead code and is not reproduced): a stack of dilated
+Conv2d blocks over the complex spectrogram, a 1x1 projection to 8
+features, nearest resampling of the time axis onto the video-frame grid,
+a BiLSTM over frames, and a 2-layer per-frame classifier emitting one
+silence logit per video frame.
+
+Input : (B, F=256, T, 2)  — STFT real/imag, NHWC
+Output: (B, num_frames)   — logits; sigmoid>=0.5 means "voiced" (bit 1)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sos_tpu.config import DetectorModelConfig
+from sos_tpu.models.layers import ConvBlock, TorchLinear
+from sos_tpu.ops.lstm import BiLSTM
+from sos_tpu.ops.resize import nearest_resize_1d
+
+
+class SilenceDetector(nn.Module):
+    cfg: DetectorModelConfig = DetectorModelConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        spec: jnp.ndarray,
+        num_frames: Optional[int] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        out_frames = num_frames or cfg.num_frames
+        x = spec
+        # Dilated conv trunk (kernels/dilations from m1 networks.py:91-93).
+        for i, (ks, dil) in enumerate(zip(cfg.kernel_sizes, cfg.dilations)):
+            x = ConvBlock(
+                features=cfg.nf, kernel_size=ks, dilation=dil,
+                train=train, name=f"conv{i}",
+            )(x)
+        x = ConvBlock(
+            features=cfg.outf, kernel_size=(1, 1), dilation=(1, 1),
+            train=train, name="proj",
+        )(x)  # (B, F, T, outf)
+
+        # Flatten features channel-major (c*F + f) to match the reference's
+        # NCHW view(B, C*F, T) (m1 networks.py:132), then resample time to
+        # the video-frame grid with torch-nearest indices (networks.py:133).
+        b, f, t, c = x.shape
+        x = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f)  # (B, T, C*F)
+        x = nearest_resize_1d(x, out_frames, axis=1)  # (B, frames, C*F)
+
+        x = BiLSTM(hidden=cfg.lstm_hidden, name="lstm")(x)  # (B, frames, 2H)
+        x = TorchLinear(cfg.fc_hidden, name="fc1")(x)
+        x = nn.relu(x)
+        x = TorchLinear(1, name="fc2")(x)
+        return x[..., 0]  # (B, frames) logits
