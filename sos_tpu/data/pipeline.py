@@ -1,0 +1,218 @@
+"""Host batchers + device-side mixing/STFT stages.
+
+The reference burns 60-70 DataLoader worker processes running
+librosa.load + SNR mixing + STFT per item on CPU (m1 dataset.py:178-352,
+m2 dataset.py:144-320; SURVEY.md §3.1 "the dominant input cost"). The
+TPU-native split:
+
+* **host** (this module's batchers): decode WAVs once (cached), slice raw
+  clip windows, pick noise crops/SNRs — pure indexing, no DSP;
+* **device** (`device_mix_and_stft_*`): silence-masking, SNR mixing, the
+  STFTs and ground-truth cRM run inside the jitted train step, fused by
+  XLA with the model itself.
+
+Batch layouts:
+  detector:  clean (B, 28000), noise (B, 28000), snr (B,), bits (B, 60)
+  denoiser:  clean (B, 28000), noise (B, 28000), snr (B,), bits (B, 60)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sos_tpu.config import DataConfig, StftConfig
+from sos_tpu.data.sampling import NoiseBank
+from sos_tpu.data.windows import DenoiserWindow, DetectorWindow
+from sos_tpu.dsp import audio_io
+from sos_tpu.dsp.stft import stft as stft_fn
+from sos_tpu.dsp.crm import compressed_crm
+from sos_tpu.dsp.mixing import bitstream_to_sample_mask, mix_at_snr
+
+
+# ---------------------------------------------------------------------------
+# Device-side stages (jit-inlined into the train step)
+# ---------------------------------------------------------------------------
+
+
+def device_mix_and_stft_detector(
+    clean: jnp.ndarray,   # (B, L) raw clean clips
+    noise: jnp.ndarray,   # (B, L) noise crops
+    snr_db: jnp.ndarray,  # (B,)
+    bits: jnp.ndarray,    # (B, frames) 0=silent 1=voiced
+    data_cfg: DataConfig = DataConfig(),
+    stft_cfg: StftConfig = StftConfig(),
+) -> Dict[str, jnp.ndarray]:
+    """Silence-mask -> mix at SNR -> STFT, all on device (m1 dataset recipe)."""
+    ratio = data_cfg.sample_rate / data_cfg.frame_rate
+    mask = bitstream_to_sample_mask(bits, ratio, clean.shape[-1],
+                                    data_cfg.despeckle_min_run)
+    clean = clean * (1.0 - mask)  # enforce truly-silent intervals
+    mixed, _, _ = mix_at_snr(clean, noise, snr_db, norm=data_cfg.mix_norm)
+    spec = stft_fn(mixed, stft_cfg.n_fft, stft_cfg.hop_length,
+                   stft_cfg.win_length)
+    return {"audio": spec, "label": bits.astype(jnp.float32)}
+
+
+def device_mix_and_stft_denoiser(
+    clean: jnp.ndarray,
+    noise: jnp.ndarray,
+    snr_db: jnp.ndarray,
+    bits: jnp.ndarray,
+    data_cfg: DataConfig = DataConfig(),
+    stft_cfg: StftConfig = StftConfig(),
+) -> Dict[str, jnp.ndarray]:
+    """m2 dataset recipe: four STFTs + ground-truth compressed cRM on device."""
+    ratio = data_cfg.sample_rate / data_cfg.frame_rate
+    mask = bitstream_to_sample_mask(bits, ratio, clean.shape[-1],
+                                    data_cfg.despeckle_min_run)
+    clean = clean * (1.0 - mask)
+    mixed, clean_sig, full_noise = mix_at_snr(clean, noise, snr_db,
+                                              norm=data_cfg.mix_norm)
+    gated = mixed * mask  # silence-gated noise observation
+    do_stft = functools.partial(
+        stft_fn, n_fft=stft_cfg.n_fft, hop_length=stft_cfg.hop_length,
+        win_length=stft_cfg.win_length)
+    mixed_stft = do_stft(mixed)
+    clean_stft = do_stft(clean_sig)
+    gated_stft = do_stft(gated)
+    full_noise_stft = do_stft(full_noise)
+    crm_gt = compressed_crm(clean_stft, mixed_stft)
+    return {
+        "mixed": mixed_stft,
+        "clean": clean_stft,
+        "noise": gated_stft,
+        "full_noise": full_noise_stft,
+        "mask": crm_gt,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Host batchers
+# ---------------------------------------------------------------------------
+
+
+class _WavCache:
+    """Decode-once cache of waveforms at the processing sample rate."""
+
+    def __init__(self, sample_rate: int, capacity: int = 256):
+        self.sample_rate = sample_rate
+        self.capacity = capacity
+        self._store: Dict[str, np.ndarray] = {}
+
+    def get(self, path: str) -> np.ndarray:
+        hit = self._store.get(path)
+        if hit is None:
+            hit, _ = audio_io.load(path, sr=self.sample_rate)
+            if len(self._store) >= self.capacity:
+                self._store.pop(next(iter(self._store)))
+            self._store[path] = hit
+        return hit
+
+
+class _BatcherBase:
+    def __init__(
+        self,
+        windows: Sequence,
+        noise_bank: NoiseBank,
+        data_cfg: DataConfig,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        drop_remainder: bool = True,
+    ):
+        self.windows = list(windows)
+        self.noise = noise_bank
+        self.cfg = data_cfg
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.cache = _WavCache(data_cfg.sample_rate)
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.windows)
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.windows))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def _clip_samples(self) -> int:
+        raise NotImplementedError
+
+    def _clean_clip(self, w) -> np.ndarray:
+        raise NotImplementedError
+
+    def _bits(self, w) -> np.ndarray:
+        raise NotImplementedError
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed * 7919 + self.epoch)
+        order = self._order()
+        length = self._clip_samples()
+        n_full = len(self)
+        for b in range(n_full):
+            sel = order[b * self.batch_size:(b + 1) * self.batch_size]
+            clean = np.zeros((len(sel), length), dtype=np.float32)
+            noise = np.zeros((len(sel), length), dtype=np.float32)
+            snr = np.zeros((len(sel),), dtype=np.float32)
+            bits = np.zeros((len(sel), self.cfg.clip_frames), dtype=np.float32)
+            for j, wi in enumerate(sel):
+                w = self.windows[wi]
+                clip = self._clean_clip(w)
+                clean[j, :len(clip)] = clip[:length]
+                track = self.noise.random_track(rng)
+                start = int(rng.integers(0, max(1, len(track) - length + 1)))
+                crop = track[start:start + length]
+                noise[j, :len(crop)] = crop
+                if self.cfg.snr_idx is None:
+                    snr[j] = self.cfg.snrs[int(rng.integers(0, len(self.cfg.snrs)))]
+                else:
+                    snr[j] = self.cfg.snrs[self.cfg.snr_idx]
+                wb = self._bits(w)
+                bits[j, :len(wb)] = wb[:self.cfg.clip_frames]
+            yield {"clean": clean, "noise": noise, "snr": snr, "bits": bits}
+
+
+class DetectorBatcher(_BatcherBase):
+    """Batches of raw detector clips (m1 dataset windows: 60 video frames)."""
+
+    def _clip_samples(self) -> int:
+        return int(self.cfg.clip_frames / self.cfg.frame_rate * self.cfg.sample_rate)
+
+    def _clean_clip(self, w: DetectorWindow) -> np.ndarray:
+        snd = self.cache.get(w.audio_path)
+        sr = self.cfg.sample_rate
+        a = int(w.start_frame / w.framerate * sr)
+        b = int((w.start_frame + self.cfg.clip_frames) / w.framerate * sr)
+        return snd[a:b]
+
+    def _bits(self, w: DetectorWindow) -> np.ndarray:
+        return np.asarray(w.bits, dtype=np.float32)
+
+
+class DenoiserBatcher(_BatcherBase):
+    """Batches of raw 2 s denoiser clips (m2 dataset windows)."""
+
+    def _clip_samples(self) -> int:
+        return self.cfg.clip_seconds * self.cfg.sample_rate
+
+    def _clean_clip(self, w: DenoiserWindow) -> np.ndarray:
+        snd = self.cache.get(w.audio_path)
+        sr = self.cfg.sample_rate
+        return snd[int(w.start_sec * sr):int(w.end_sec * sr)]
+
+    def _bits(self, w: DenoiserWindow) -> np.ndarray:
+        return np.asarray([1.0 if c == "1" else 0.0 for c in w.bits],
+                          dtype=np.float32)

@@ -1,0 +1,146 @@
+"""Data layer tests: index schema, windowing recipes, batchers, device stages."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sos_tpu.config import DataConfig
+from sos_tpu.data import (
+    DatasetIndex,
+    DenoiserBatcher,
+    DetectorBatcher,
+    NoiseBank,
+    denoiser_windows,
+    detector_windows,
+    device_mix_and_stft_denoiser,
+    device_mix_and_stft_detector,
+    subsample_windows,
+)
+from sos_tpu.data.index import FileRecord
+from sos_tpu.dsp import audio_io
+
+REF_JSON = "/root/reference/data/sounds_of_silence_audioonly/sos_1.json"
+
+
+def _make_fixture(tmp_path, n_files=2, seconds=5.0, sr=14000, fps=30.0, seed=0):
+    rng = np.random.default_rng(seed)
+    files = []
+    for i in range(n_files):
+        n = int(seconds * sr)
+        y = (rng.standard_normal(n) * 0.2).astype(np.float32)
+        path = str(tmp_path / f"clip_{i}.wav")
+        audio_io.write_wav(path, y, sr)
+        nf = int(seconds * fps)
+        bits = "".join(rng.choice(list("01"), nf, p=[0.3, 0.7]))
+        files.append(FileRecord(
+            path=path, audio_path=path, framerate=fps, audio_sample_rate=sr,
+            audio_samples=n, duration=seconds, num_frames=nf, bit_stream=bits))
+    return DatasetIndex(dataset_path=str(tmp_path), files=files)
+
+
+def _noise_bank(sr=14000, seed=3):
+    rng = np.random.default_rng(seed)
+    tracks = [rng.standard_normal(sr * 4).astype(np.float32) * 0.4
+              for _ in range(3)]
+    return NoiseBank.from_arrays(tracks, sr)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_JSON), reason="reference data absent")
+def test_index_roundtrip_reference_schema(tmp_path):
+    idx = DatasetIndex.load(REF_JSON)
+    assert idx.num_files == 1
+    f = idx[0]
+    assert f.framerate == 30 and f.audio_sample_rate == 44100
+    assert set(f.bit_stream) <= {"0", "1", "2"}
+    out = str(tmp_path / "round.json")
+    idx.save(out)
+    again = DatasetIndex.load(out)
+    assert again[0].bit_stream == f.bit_stream
+    assert again[0].num_frames == f.num_frames
+
+
+def test_detector_windows_overlap(tmp_path):
+    idx = _make_fixture(tmp_path, seconds=6.0)
+    wins = detector_windows(idx.files, clip_frames=60)
+    # 180 frames -> starts at 0,30,60,90,120 (window must fit): 5 per file
+    per_file = [w for w in wins if w.file_index == 0]
+    assert [w.start_frame for w in per_file] == [0, 30, 60, 90, 120]
+    assert all(len(w.bits) == 60 for w in wins)
+    pred = detector_windows(idx.files, clip_frames=60, pred=True)
+    assert len(pred) == 2 and len(pred[0].bits) == 180
+
+
+def test_denoiser_windows_seconds(tmp_path):
+    idx = _make_fixture(tmp_path, seconds=6.0)
+    wins = denoiser_windows(idx.files, 2.0, 1.0)
+    one = [w for w in wins if w.file_index == 0]
+    assert [w.start_sec for w in one] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert all(len(w.bits) == 60 for w in one)
+
+
+def test_subsample_deterministic(tmp_path):
+    idx = _make_fixture(tmp_path, seconds=6.0)
+    wins = detector_windows(idx.files, clip_frames=60)
+    a = subsample_windows(wins, num=4, seed=10)
+    b = subsample_windows(wins, num=4, seed=10)
+    assert [w.start_frame for w in a] == [w.start_frame for w in b]
+    frac = subsample_windows(wins, fraction=0.5, seed=10)
+    assert len(frac) == len(wins) // 2
+
+
+def test_detector_batcher_and_device_stage(tmp_path):
+    idx = _make_fixture(tmp_path)
+    cfg = DataConfig()
+    wins = detector_windows(idx.files, cfg.clip_frames)
+    batcher = DetectorBatcher(wins, _noise_bank(), cfg, batch_size=2,
+                              shuffle=True, seed=5)
+    batch = next(iter(batcher))
+    assert batch["clean"].shape == (2, 28000)
+    assert batch["bits"].shape == (2, 60)
+    out = device_mix_and_stft_detector(
+        jnp.asarray(batch["clean"]), jnp.asarray(batch["noise"]),
+        jnp.asarray(batch["snr"]), jnp.asarray(batch["bits"]))
+    assert out["audio"].shape == (2, 256, 178, 2)
+    assert out["label"].shape == (2, 60)
+    # mixture peak-normalized to 0.5 => spectrogram magnitudes finite
+    assert np.isfinite(np.asarray(out["audio"])).all()
+
+
+def test_denoiser_device_stage_additivity(tmp_path):
+    idx = _make_fixture(tmp_path)
+    cfg = DataConfig()
+    wins = denoiser_windows(idx.files, cfg.clip_seconds, cfg.overlap_seconds)
+    batcher = DenoiserBatcher(wins, _noise_bank(), cfg, batch_size=2,
+                              shuffle=False, seed=5)
+    batch = next(iter(batcher))
+    out = device_mix_and_stft_denoiser(
+        jnp.asarray(batch["clean"]), jnp.asarray(batch["noise"]),
+        jnp.asarray(batch["snr"]), jnp.asarray(batch["bits"]))
+    for key in ("mixed", "clean", "noise", "full_noise", "mask"):
+        assert out[key].shape == (2, 256, 178, 2), key
+    # STFT linearity: mixed = clean + full_noise in the spectral domain
+    np.testing.assert_allclose(
+        np.asarray(out["mixed"]),
+        np.asarray(out["clean"]) + np.asarray(out["full_noise"]),
+        atol=1e-4)
+    # gt cRM is a valid compressed mask
+    crm = np.asarray(out["mask"])
+    assert ((crm > 0) & (crm < 1)).all()
+
+
+def test_batcher_epoch_reshuffle(tmp_path):
+    idx = _make_fixture(tmp_path, seconds=8.0)
+    cfg = DataConfig()
+    wins = detector_windows(idx.files, cfg.clip_frames)
+    batcher = DetectorBatcher(wins, _noise_bank(), cfg, batch_size=4,
+                              shuffle=True, seed=1)
+    first = next(iter(batcher))["bits"].copy()
+    batcher.set_epoch(1)
+    second = next(iter(batcher))["bits"].copy()
+    assert not np.array_equal(first, second)
+    batcher.set_epoch(0)
+    again = next(iter(batcher))["bits"].copy()
+    # noise/snr draws differ per epoch but window order is seed-deterministic
+    np.testing.assert_array_equal(first, again)
