@@ -1,0 +1,71 @@
+"""Headline benchmark: end-to-end denoise inference throughput on one chip.
+
+Measures the fused program waveform -> STFT -> JointDenoiser -> cRM
+inverse -> iSTFT -> waveform on batches of 2 s / 14 kHz clips (the
+reference's inference unit, m2 predict.py:405-526) and reports
+audio-seconds of denoised speech produced per wall-clock second per chip.
+
+Baseline: the driver's north-star target of 500x real-time per chip
+(BASELINE.json); `vs_baseline` = value / 500.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from sos_tpu.config import ExperimentConfig
+    from sos_tpu.dsp.crm import apply_compressed_crm
+    from sos_tpu.dsp.stft import istft, stft
+    from sos_tpu.models import JointDenoiser
+
+    cfg = ExperimentConfig()
+    model = JointDenoiser(cfg.denoiser)
+    samples = cfg.data.clip_seconds * cfg.data.sample_rate
+    t = 1 + samples // cfg.stft.hop_length
+    batch = 32
+
+    rng = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, cfg.denoiser.freq_bins, t, 2))
+    variables = model.init(rng, dummy, dummy, train=False)
+
+    @jax.jit
+    def denoise(params, mixed, mask):
+        mixed_stft = stft(mixed)
+        gated_stft = stft(mixed * mask)
+        _, crm = model.apply(params, mixed_stft, gated_stft, train=False)
+        return istft(apply_compressed_crm(mixed_stft, crm))
+
+    k1, k2 = jax.random.split(rng)
+    mixed = jax.random.normal(k1, (batch, samples), jnp.float32) * 0.1
+    mask = (jax.random.uniform(k2, (batch, samples)) > 0.5).astype(jnp.float32)
+
+    # Warmup/compile.
+    denoise(variables, mixed, mask).block_until_ready()
+
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = denoise(variables, mixed, mask)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    audio_sec = iters * batch * (samples / cfg.data.sample_rate)
+    throughput = audio_sec / elapsed
+    print(json.dumps({
+        "metric": "denoise_throughput",
+        "value": round(throughput, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(throughput / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

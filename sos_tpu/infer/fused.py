@@ -1,0 +1,77 @@
+"""Fused end-to-end pipeline: ONE XLA program from noisy waveform to clean waveform.
+
+The TPU-only capability called out in BASELINE.json's north star: the
+reference runs stage 1 and stage 2 as separate CLIs glued by JSON/WAV
+files, with STFT/iSTFT on host. Here
+
+  STFT -> SilenceDetector -> threshold -> frame->sample mask (matmul +
+  despeckle) -> gated-noise STFT -> JointDenoiser -> cRM inverse -> iSTFT
+
+compiles into a single program over a fixed-size batch of clips: no host
+round-trips, every stage fused by XLA, MXU-resident throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sos_tpu.config import ExperimentConfig
+from sos_tpu.dsp.crm import apply_compressed_crm
+from sos_tpu.dsp.mixing import bitstream_to_sample_mask
+from sos_tpu.dsp.stft import istft, stft
+from sos_tpu.models import JointDenoiser, SilenceDetector
+
+
+class FusedDenoisePipeline:
+    """Batched fixed-length clip denoising with in-graph silence detection."""
+
+    def __init__(self, cfg: ExperimentConfig, detector_vars: Dict,
+                 denoiser_vars: Dict, threshold: float = 0.5,
+                 clip_seconds: float = 2.0):
+        self.cfg = cfg
+        self.threshold = threshold
+        self.detector = SilenceDetector(cfg.detector)
+        self.denoiser = JointDenoiser(cfg.denoiser)
+        self.detector_vars = detector_vars
+        self.denoiser_vars = denoiser_vars
+        self.clip_samples = int(clip_seconds * cfg.data.sample_rate)
+        self.num_frames = int(clip_seconds * cfg.data.frame_rate)
+        self._run = self._build()
+
+    def _build(self):
+        cfg = self.cfg
+        scfg = cfg.stft
+        ratio = cfg.data.sample_rate / cfg.data.frame_rate
+        clip_samples = self.clip_samples
+        num_frames = self.num_frames
+        threshold = self.threshold
+        detector, denoiser = self.detector, self.denoiser
+
+        @jax.jit
+        def run(det_vars, den_vars, mixed):
+            mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length, scfg.win_length)
+            logits = detector.apply(det_vars, mixed_stft,
+                                    num_frames=num_frames, train=False)
+            bits = (jax.nn.sigmoid(logits) >= threshold).astype(jnp.float32)
+            mask = bitstream_to_sample_mask(bits, ratio, clip_samples,
+                                            cfg.data.despeckle_min_run)
+            gated_stft = stft(mixed * mask, scfg.n_fft, scfg.hop_length,
+                              scfg.win_length)
+            noise_pred, crm = denoiser.apply(den_vars, mixed_stft, gated_stft,
+                                             train=False)
+            clean_stft = apply_compressed_crm(mixed_stft, crm)
+            denoised = istft(clean_stft, scfg.n_fft, scfg.hop_length,
+                             scfg.win_length)
+            return denoised, bits
+
+        return run
+
+    def __call__(self, mixed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """mixed: (B, clip_samples) -> (denoised (B, (T-1)*hop), bits (B, frames))."""
+        assert mixed.shape[-1] == self.clip_samples, (
+            mixed.shape, self.clip_samples)
+        return self._run(self.detector_vars, self.denoiser_vars, mixed)

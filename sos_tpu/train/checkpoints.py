@@ -1,0 +1,105 @@
+"""Checkpoint management: orbax pytrees with the reference's naming/semantics.
+
+Reference behavior being preserved (m1 agent.py:62-100, train.py:84-95):
+one checkpoint per epoch named `ckpt_epoch{N}`, a rolling `latest`, and a
+`best_acc` snapshot; each stores model weights, optimizer state, the LR
+schedule position and the TrainClock. Loading by epoch number restores
+all of them. Additionally, a PyTorch `.pth` can be imported as the
+initial state (weights + running stats only) for parity evaluation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from sos_tpu.train.state import TrainClock, TrainState
+
+
+class CheckpointManager:
+    def __init__(self, model_dir: str):
+        self.model_dir = os.path.abspath(model_dir)
+        os.makedirs(self.model_dir, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.model_dir, name)
+
+    # -- save ---------------------------------------------------------------
+    def save(self, state: TrainState, clock: TrainClock, name: str) -> str:
+        path = self._path(name)
+        tree = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        }
+        self._ckptr.save(path, tree, force=True)
+        with open(path + ".clock.json", "w") as fp:
+            json.dump(clock.to_dict(), fp)
+        return path
+
+    def save_epoch(self, state: TrainState, clock: TrainClock) -> str:
+        path = self.save(state, clock, f"ckpt_epoch{clock.epoch}")
+        self.save(state, clock, "latest")
+        return path
+
+    # -- load ---------------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self._path(name))
+
+    def load(self, name: str,
+             template: Optional[TrainState] = None) -> Tuple[TrainState, TrainClock]:
+        path = self._path(name)
+        if template is not None:
+            target = {
+                "params": template.params,
+                "batch_stats": template.batch_stats,
+                "opt_state": template.opt_state,
+                "step": np.asarray(template.step),
+            }
+            tree = self._ckptr.restore(path, item=target)
+        else:
+            tree = self._ckptr.restore(path)
+        clock_path = path + ".clock.json"
+        clock = TrainClock()
+        if os.path.exists(clock_path):
+            with open(clock_path) as fp:
+                clock = TrainClock.from_dict(json.load(fp))
+        state = TrainState(
+            params=tree["params"],
+            batch_stats=tree["batch_stats"],
+            opt_state=tree["opt_state"],
+            step=jax.numpy.asarray(tree["step"]),
+        )
+        return state, clock
+
+    def load_epoch(self, epoch: int,
+                   template: Optional[TrainState] = None) -> Tuple[TrainState, TrainClock]:
+        return self.load(f"ckpt_epoch{epoch}", template)
+
+
+def state_from_torch_variables(variables: Dict[str, Any],
+                               template: TrainState) -> TrainState:
+    """Overlay imported .pth weights/stats onto a freshly-initialized state.
+
+    Optimizer state and step restart from zero (parity evaluation only
+    needs weights; continuing training from a torch checkpoint resets the
+    optimizer like the reference's scheduler would on a fresh run).
+    """
+
+    def _check(new, old):
+        new = jax.numpy.asarray(new)
+        assert new.shape == old.shape, (new.shape, old.shape)
+        return new.astype(old.dtype)
+
+    params = jax.tree.map(_check, variables["params"], template.params)
+    stats = jax.tree.map(_check, variables.get("batch_stats", {}),
+                         template.batch_stats)
+    return TrainState(params=params, batch_stats=stats,
+                      opt_state=template.opt_state, step=template.step)

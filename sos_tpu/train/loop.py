@@ -1,0 +1,210 @@
+"""Jitted train/eval steps for both stages + optimizer/schedule factories.
+
+Loss definitions match the reference agents:
+
+* detector — `BCEWithLogitsLoss` over per-frame logits vs 60-frame labels
+  (m1 agent.py:185-206); eval adds per-frame accuracy at sigmoid>=0.5
+  (m1 agent.py:208-232).
+* denoiser — `MSE(noise_pred, full_noise) + MSE(icrm(mixed, mask), clean)`
+  with the in-graph differentiable cRM inverse (m2 agent.py:176-190,
+  transform.py:156-169).
+
+Optimizer: Adam(lr=1e-3) with a StepLR-equivalent staircase decay
+(gamma=0.1 every 15 epochs; m1 agent.py:175-183 + torch defaults).
+
+The device-side mixing/STFT stage (sos_tpu.data.pipeline) is *inside*
+each train step, so one XLA program does mask -> mix -> STFT -> model ->
+loss -> grads -> psum -> update. Batches are sharded over the `data` mesh
+axis; parameters are replicated (see sos_tpu.parallel). BatchNorm batch
+statistics are computed over the *global* batch under SPMD (sync-BN) — a
+documented improvement over DataParallel's per-replica stats.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sos_tpu.config import ExperimentConfig
+from sos_tpu.data.pipeline import (
+    device_mix_and_stft_denoiser,
+    device_mix_and_stft_detector,
+)
+from sos_tpu.dsp.crm import apply_compressed_crm
+from sos_tpu.models import JointDenoiser, SilenceDetector
+from sos_tpu.train.state import TrainState
+
+
+def make_lr_schedule(cfg: ExperimentConfig, steps_per_epoch: int):
+    """StepLR(step_size=lr_step_size, gamma) as a step-indexed staircase."""
+    boundary = max(1, steps_per_epoch * cfg.train.lr_step_size)
+    return optax.exponential_decay(
+        init_value=cfg.train.lr,
+        transition_steps=boundary,
+        decay_rate=cfg.train.lr_gamma,
+        staircase=True,
+    )
+
+
+def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
+    return optax.adam(make_lr_schedule(cfg, steps_per_epoch))
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_detector_state(cfg: ExperimentConfig, steps_per_epoch: int,
+                        rng: Optional[jax.Array] = None,
+                        variables: Optional[Dict] = None) -> Tuple[SilenceDetector, TrainState]:
+    model = SilenceDetector(cfg.detector)
+    if variables is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+        t = 1 + int(cfg.data.clip_frames / cfg.data.frame_rate
+                    * cfg.data.sample_rate) // cfg.stft.hop_length
+        dummy = jnp.zeros((1, cfg.detector.freq_bins, t, 2))
+        variables = model.init(rng, dummy, train=False)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, state
+
+
+def init_denoiser_state(cfg: ExperimentConfig, steps_per_epoch: int,
+                        rng: Optional[jax.Array] = None,
+                        variables: Optional[Dict] = None) -> Tuple[JointDenoiser, TrainState]:
+    model = JointDenoiser(cfg.denoiser)
+    if variables is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
+        t = 1 + cfg.data.clip_seconds * cfg.data.sample_rate // cfg.stft.hop_length
+        dummy = jnp.zeros((1, cfg.denoiser.freq_bins, t, 2))
+        variables = model.init(rng, dummy, dummy, train=False)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return model, state
+
+
+# ---------------------------------------------------------------------------
+# Detector steps
+# ---------------------------------------------------------------------------
+
+
+def _bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    # mean over all frames/batch, identical to BCEWithLogitsLoss default
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def make_detector_train_step(cfg: ExperimentConfig, model: SilenceDetector,
+                             steps_per_epoch: int) -> Callable:
+    tx = make_optimizer(cfg, steps_per_epoch)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        prepared = device_mix_and_stft_detector(
+            batch["clean"], batch["noise"], batch["snr"], batch["bits"],
+            cfg.data, cfg.stft)
+
+        def loss_fn(params):
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                prepared["audio"], num_frames=cfg.data.clip_frames,
+                train=True, mutable=["batch_stats"])
+            loss = _bce_with_logits(outs, prepared["label"])
+            return loss, (mutated["batch_stats"], outs)
+
+        (loss, (new_stats, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(((jax.nn.sigmoid(logits) >= 0.5).astype(jnp.float32)
+                        == prepared["label"]).astype(jnp.float32))
+        metrics = {"loss": loss, "accuracy": acc,
+                   "lr": make_lr_schedule(cfg, steps_per_epoch)(state.step)}
+        return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
+
+    return train_step
+
+
+def make_detector_eval_step(cfg: ExperimentConfig, model: SilenceDetector) -> Callable:
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        prepared = device_mix_and_stft_detector(
+            batch["clean"], batch["noise"], batch["snr"], batch["bits"],
+            cfg.data, cfg.stft)
+        logits = model.apply(state.variables(), prepared["audio"],
+                             num_frames=cfg.data.clip_frames, train=False)
+        loss = _bce_with_logits(logits, prepared["label"])
+        pred = (jax.nn.sigmoid(logits) >= 0.5).astype(jnp.float32)
+        acc = jnp.mean((pred == prepared["label"]).astype(jnp.float32))
+        return {"loss": loss, "accuracy": acc, "pred": pred,
+                "label": prepared["label"]}
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Denoiser steps
+# ---------------------------------------------------------------------------
+
+
+def make_denoiser_train_step(cfg: ExperimentConfig, model: JointDenoiser,
+                             steps_per_epoch: int) -> Callable:
+    tx = make_optimizer(cfg, steps_per_epoch)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        d = device_mix_and_stft_denoiser(
+            batch["clean"], batch["noise"], batch["snr"], batch["bits"],
+            cfg.data, cfg.stft)
+
+        def loss_fn(params):
+            (noise_pred, mask), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                d["mixed"], d["noise"], train=True, mutable=["batch_stats"])
+            rec = apply_compressed_crm(d["mixed"], mask)
+            loss_inpaint = jnp.mean((noise_pred - d["full_noise"]) ** 2)
+            loss_rec = jnp.mean((rec - d["clean"]) ** 2)
+            return loss_inpaint + loss_rec, (
+                mutated["batch_stats"], loss_inpaint, loss_rec)
+
+        (loss, (new_stats, l1, l2)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "stage1": l1, "stage2": l2,
+                   "lr": make_lr_schedule(cfg, steps_per_epoch)(state.step)}
+        return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
+
+    return train_step
+
+
+def make_denoiser_eval_step(cfg: ExperimentConfig, model: JointDenoiser) -> Callable:
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        d = device_mix_and_stft_denoiser(
+            batch["clean"], batch["noise"], batch["snr"], batch["bits"],
+            cfg.data, cfg.stft)
+        noise_pred, mask = model.apply(state.variables(), d["mixed"],
+                                       d["noise"], train=False)
+        rec = apply_compressed_crm(d["mixed"], mask)
+        return {
+            "stage1": jnp.mean((noise_pred - d["full_noise"]) ** 2),
+            "stage2": jnp.mean((rec - d["clean"]) ** 2),
+        }
+
+    return eval_step

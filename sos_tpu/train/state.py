@@ -1,0 +1,53 @@
+"""Functional training state + the reference's TrainClock bookkeeping.
+
+The reference tracks (epoch, minibatch, step) in a `TrainClock`
+(m1 utils.py:8-34) serialized inside every checkpoint. Here the clock is
+a plain dataclass persisted next to the pytree state; the state itself is
+a flax-struct pytree so it flows through jit/shard_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array  # global minibatch counter (drives the LR schedule)
+
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+
+@dataclasses.dataclass
+class TrainClock:
+    epoch: int = 0
+    minibatch: int = 0
+    step: int = 0
+
+    def tick(self) -> None:
+        self.minibatch += 1
+        self.step += 1
+
+    def tock(self) -> None:
+        self.epoch += 1
+        self.minibatch = 0
+
+    def to_dict(self) -> Dict[str, int]:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(d: Optional[Dict[str, int]]) -> "TrainClock":
+        if not d:
+            return TrainClock()
+        return TrainClock(epoch=int(d.get("epoch", 0)),
+                          minibatch=int(d.get("minibatch", 0)),
+                          step=int(d.get("step", 0)))

@@ -1,0 +1,156 @@
+"""Training-step tests: loss decreases, sharded SPMD step runs, ckpt roundtrip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sos_tpu.config import (
+    DataConfig,
+    DenoiserModelConfig,
+    DetectorModelConfig,
+    ExperimentConfig,
+    TrainConfig,
+)
+from sos_tpu.parallel import make_mesh, shard_batch
+from sos_tpu.train.loop import (
+    init_denoiser_state,
+    init_detector_state,
+    make_denoiser_train_step,
+    make_detector_train_step,
+    make_detector_eval_step,
+    make_lr_schedule,
+)
+from sos_tpu.train.state import TrainClock
+
+
+def tiny_detector_cfg():
+    return ExperimentConfig(
+        detector=DetectorModelConfig(
+            nf=8, outf=4,
+            kernel_sizes=((1, 7), (7, 1), (5, 5)),
+            dilations=((1, 1), (1, 1), (2, 2)),
+            lstm_hidden=8, fc_hidden=8),
+        data=DataConfig(),
+        train=TrainConfig(batch_size=2),
+    )
+
+
+def tiny_denoiser_cfg():
+    return ExperimentConfig(
+        denoiser=DenoiserModelConfig(
+            nf_mixed=8, outf_mixed=4, outf_noise=2,
+            kernel_sizes=((1, 7), (5, 5)),
+            dilations=((1, 1), (2, 2)),
+            lstm_hidden=8, fc_hidden=16, inpaint_ch=(4, 6, 8)),
+        data=DataConfig(clip_seconds=1),
+        train=TrainConfig(batch_size=2),
+    )
+
+
+def _detector_batch(cfg, b, seed=0):
+    rng = np.random.default_rng(seed)
+    samples = int(cfg.data.clip_frames / cfg.data.frame_rate * cfg.data.sample_rate)
+    return {
+        "clean": rng.standard_normal((b, samples)).astype(np.float32) * 0.2,
+        "noise": rng.standard_normal((b, samples)).astype(np.float32) * 0.2,
+        "snr": np.full((b,), 0.0, np.float32),
+        "bits": rng.integers(0, 2, (b, cfg.data.clip_frames)).astype(np.float32),
+    }
+
+
+def _denoiser_batch(cfg, b, seed=0):
+    rng = np.random.default_rng(seed)
+    samples = cfg.data.clip_seconds * cfg.data.sample_rate
+    return {
+        "clean": rng.standard_normal((b, samples)).astype(np.float32) * 0.2,
+        "noise": rng.standard_normal((b, samples)).astype(np.float32) * 0.2,
+        "snr": np.full((b,), 3.0, np.float32),
+        "bits": rng.integers(0, 2, (b, cfg.data.clip_frames)).astype(np.float32),
+    }
+
+
+def test_detector_train_step_learns():
+    cfg = tiny_detector_cfg()
+    model, state = init_detector_state(cfg, steps_per_epoch=5)
+    step = make_detector_train_step(cfg, model, steps_per_epoch=5)
+    batch = _detector_batch(cfg, 2)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # overfits a fixed batch
+
+    ev = make_detector_eval_step(cfg, model)
+    out = ev(state, batch)
+    assert 0.0 <= float(out["accuracy"]) <= 1.0
+
+
+def test_denoiser_train_step_learns():
+    cfg = tiny_denoiser_cfg()
+    model, state = init_denoiser_state(cfg, steps_per_epoch=5)
+    step = make_denoiser_train_step(cfg, model, steps_per_epoch=5)
+    batch = _denoiser_batch(cfg, 2)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_detector_step_sharded_over_mesh():
+    cfg = tiny_detector_cfg()
+    n = min(8, len(jax.devices()))
+    mesh = make_mesh(num_devices=n)
+    model, state = init_detector_state(cfg, steps_per_epoch=5)
+    step = make_detector_train_step(cfg, model, steps_per_epoch=5)
+    batch = _detector_batch(cfg, n)
+
+    # unsharded single-device result for comparison
+    ref_state, ref_metrics = step(state, batch)
+
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        rep = jax.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        state_r = jax.device_put(state, rep)
+        new_state, metrics = step(state_r, sharded)
+    assert np.isfinite(float(metrics["loss"]))
+    # SPMD sharded step computes the same global loss/grads
+    np.testing.assert_allclose(float(metrics["loss"]),
+                               float(ref_metrics["loss"]), rtol=1e-5)
+    a = jax.tree.leaves(new_state.params)[0]
+    b = jax.tree.leaves(ref_state.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_lr_schedule_steplr():
+    cfg = ExperimentConfig(train=TrainConfig(lr=1e-3, lr_step_size=15, lr_gamma=0.1))
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(149)) == pytest.approx(1e-3)
+    assert float(sched(150)) == pytest.approx(1e-4)
+    assert float(sched(300)) == pytest.approx(1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from sos_tpu.train.checkpoints import CheckpointManager
+
+    cfg = tiny_detector_cfg()
+    model, state = init_detector_state(cfg, steps_per_epoch=5)
+    step = make_detector_train_step(cfg, model, steps_per_epoch=5)
+    state, _ = step(state, _detector_batch(cfg, 2))
+
+    mgr = CheckpointManager(str(tmp_path / "model"))
+    clock = TrainClock(epoch=3, minibatch=1, step=31)
+    mgr.save_epoch(state, clock)
+    assert mgr.exists("ckpt_epoch3") and mgr.exists("latest")
+
+    _, blank = init_detector_state(cfg, steps_per_epoch=5)
+    restored, rclock = mgr.load_epoch(3, template=blank)
+    assert rclock.epoch == 3 and rclock.step == 31
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
