@@ -18,7 +18,12 @@ import numpy as np
 
 
 def main() -> None:
+    import os
+
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
     from sos_tpu.config import ExperimentConfig
@@ -27,14 +32,18 @@ def main() -> None:
     from sos_tpu.models import JointDenoiser
 
     cfg = ExperimentConfig()
-    model = JointDenoiser(cfg.denoiser)
+    # bf16 conv trunks (f32 LSTM/mask head): ~2x MXU throughput on v5e.
+    model = JointDenoiser(cfg.denoiser, compute_dtype="bfloat16")
     samples = cfg.data.clip_seconds * cfg.data.sample_rate
     t = 1 + samples // cfg.stft.hop_length
     batch = 32
 
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, cfg.denoiser.freq_bins, t, 2))
-    variables = model.init(rng, dummy, dummy, train=False)
+    # NB: eager init is pathologically slow over the remote TPU tunnel
+    # (one RPC per param); jit makes it one program.
+    variables = jax.jit(
+        lambda k: model.init(k, dummy, dummy, train=False))(rng)
 
     @jax.jit
     def denoise(params, mixed, mask):
@@ -50,11 +59,14 @@ def main() -> None:
     # Warmup/compile.
     denoise(variables, mixed, mask).block_until_ready()
 
+    # Distinct inputs per iteration (rules out any buffer-level result
+    # caching in the device runtime); dispatches pipeline, block at end.
     iters = 20
+    inputs = [mixed + 1e-4 * i for i in range(iters)]
+    jax.block_until_ready(inputs)
     start = time.perf_counter()
-    for _ in range(iters):
-        out = denoise(variables, mixed, mask)
-    out.block_until_ready()
+    outs = [denoise(variables, m, mask) for m in inputs]
+    jax.block_until_ready(outs)
     elapsed = time.perf_counter() - start
 
     audio_sec = iters * batch * (samples / cfg.data.sample_rate)

@@ -1,0 +1,61 @@
+"""Shared CLI plumbing: experiment dirs, config construction, checkpoint IO."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Tuple
+
+from sos_tpu.config import ExperimentConfig, TrainConfig, DataConfig
+
+
+def experiment_dirs(cfg: ExperimentConfig, stage: str) -> Tuple[str, str, str]:
+    """(exp_dir, log_dir, model_dir) under output_root/{name}_{stage}.
+
+    Mirrors the reference's `../model_output/{experiment}` convention
+    (m1 common.py:10-13) without depending on the CWD basename.
+    """
+    exp_dir = os.path.join(cfg.output_root, f"{cfg.name}_{stage}")
+    log_dir = os.path.join(exp_dir, "log")
+    model_dir = os.path.join(exp_dir, "model")
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(model_dir, exist_ok=True)
+    return exp_dir, log_dir, model_dir
+
+
+def add_common_train_args(parser: argparse.ArgumentParser,
+                          need_dataset: bool = True) -> None:
+    parser.add_argument("--continue", dest="cont", action="store_true",
+                        help="continue training from checkpoint")
+    parser.add_argument("--ckpt", type=str, default="latest",
+                        help="checkpoint to restore ('latest' or epoch number)")
+    parser.add_argument("--dataset_json", type=str, required=need_dataset,
+                        help="dataset JSON")
+    parser.add_argument("--test_dataset_json", type=str, default=None)
+    parser.add_argument("--noise_root", type=str, action="append", default=[],
+                        help="noise corpus root(s) (DEMAND/AudioSet style)")
+    parser.add_argument("--output_root", type=str, default="model_output")
+    parser.add_argument("--name", type=str, default="experiment")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="data-parallel device count (default: all)")
+
+
+def config_from_args(args, stage: str) -> ExperimentConfig:
+    base = ExperimentConfig(name=args.name, output_root=args.output_root)
+    train_kw = {}
+    if args.epochs is not None:
+        train_kw["nr_epochs"] = args.epochs
+    if args.batch_size is not None:
+        train_kw["batch_size"] = args.batch_size
+    elif stage == "denoiser":
+        train_kw["batch_size"] = 40  # m2 common.py:52
+    if args.lr is not None:
+        train_kw["lr"] = args.lr
+    if train_kw:
+        import dataclasses
+        base = dataclasses.replace(
+            base, train=dataclasses.replace(base.train, **train_kw))
+    return base

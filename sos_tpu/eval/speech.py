@@ -181,16 +181,19 @@ def _batched_lpc(frames: np.ndarray, order: int) -> Tuple[np.ndarray, np.ndarray
         r[:, k] = np.sum(frames[:, :w - k] * frames[:, k:], axis=1)
     a = np.zeros((n, order))
     e = r[:, 0].copy()
-    for i in range(order):
-        if i == 0:
-            acc = np.zeros(n)
-        else:
-            acc = np.sum(a[:, :i] * r[:, i:0:-1], axis=1)
-        rc = (r[:, i + 1] - acc) / e
-        if i > 0:
-            a[:, :i] = a[:, :i] - rc[:, None] * a[:, i - 1::-1]
-        a[:, i] = rc
-        e = (1 - rc * rc) * e
+    # All-zero (silent) frames yield E=0 -> NaN LPCs, excluded later by
+    # nanmean exactly like the reference's per-frame loop.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i in range(order):
+            if i == 0:
+                acc = np.zeros(n)
+            else:
+                acc = np.sum(a[:, :i] * r[:, i:0:-1], axis=1)
+            rc = (r[:, i + 1] - acc) / e
+            if i > 0:
+                a[:, :i] = a[:, :i] - rc[:, None] * a[:, i - 1::-1]
+            a[:, i] = rc
+            e = (1 - rc * rc) * e
     lp = np.concatenate([np.ones((n, 1)), -a], axis=1)
     return r, lp
 

@@ -1,0 +1,364 @@
+"""Pipeline drivers: stage-1 eval, stage bridge, stage-2 eval — schema-exact.
+
+These produce/consume the same on-disk artifacts as the reference CLIs so
+results remain interchangeable:
+
+* :func:`evaluate_detector`  -> `eval_results{suffix}.json` + `noise{suffix}/`
+  wavs+json (m1 predict.py:38-233)
+* :func:`create_data_from_prediction` -> `pred_data{suffix}.json` +
+  `recovered{suffix}/` `*_mixed.wav`/`*_clean.wav`/`*_full_noise.wav`
+  (m1 create_data_from_pred.py:38-271)
+* :func:`evaluate_denoiser`  -> per-file `denoised_output.wav` etc. +
+  `eval_results{suffix}.json` with the speech-metric suite
+  (m2 predict.py:255-575)
+
+Known reference quirks handled deliberately: the bridge's noise crop
+tuple-slice no-op (create_data_from_pred.py:159) is replaced by a correct
+crop (same net behavior since add_noise re-crops at start_pos=0), and
+metrics are computed at 16 kHz after resampling (m2 predict.py:461-466).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+from itertools import groupby
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from sos_tpu.config import ExperimentConfig
+from sos_tpu.data.index import DatasetIndex
+from sos_tpu.data.sampling import NoiseBank
+from sos_tpu.data.windows import detector_windows
+from sos_tpu.dsp import audio_io
+from sos_tpu.dsp.mixing import (
+    bitstream_to_sample_mask_np,
+    crop_noise_np,
+    mix_at_snr_np,
+)
+from sos_tpu.eval.detection import detection_statistics
+from sos_tpu.eval.speech import evaluate_metrics
+from sos_tpu.infer.denoise import DenoiserPredictor
+from sos_tpu.infer.detect import DetectorPredictor
+
+
+def snr_suffix(snr: Optional[float]) -> str:
+    """'_snr{v}' with '.'->'_' (m1 tools.py:873-893), '' when None."""
+    if snr is None:
+        return ""
+    value = float(snr)
+    value = int(value) if value.is_integer() else value
+    return "_snr" + str(value).replace(".", "_")
+
+
+def _basename_noext(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: detector evaluation
+# ---------------------------------------------------------------------------
+
+
+def evaluate_detector(
+    cfg: ExperimentConfig,
+    predictor: DetectorPredictor,
+    dataset_json: str,
+    output_dir: str,
+    noise_bank: Optional[NoiseBank] = None,
+    snr_idx: Optional[int] = None,
+    clean_audio: bool = True,
+    save_noise_info: bool = True,
+) -> str:
+    """Run full-utterance detection over a dataset JSON; write eval_results."""
+    os.makedirs(output_dir, exist_ok=True)
+    index = DatasetIndex.load(dataset_json)
+    windows = detector_windows(index.files, cfg.data.clip_frames, pred=True)
+    sr = cfg.data.sample_rate
+    suffix = snr_suffix(cfg.data.snrs[snr_idx]) if (
+        clean_audio and snr_idx is not None) else ""
+
+    assignment: Dict[int, tuple] = {}
+    if clean_audio:
+        assert noise_bank is not None, "clean_audio=True needs a noise bank"
+        assignment = noise_bank.assign_for_prediction(
+            index.files, cfg.data.snrs, snr_idx, seed=cfg.data.pred_random_seed)
+        if save_noise_info:
+            noise_dir = os.path.join(output_dir, "noise" + suffix)
+            os.makedirs(noise_dir, exist_ok=True)
+            noise_files = OrderedDict()
+            for f_idx, (noise, snr) in assignment.items():
+                stem = _basename_noext(index[f_idx].path)
+                noise_name = stem + "_noise.wav"
+                audio_io.write_wav(os.path.join(noise_dir, noise_name), noise, sr)
+                noise_files[os.path.basename(index[f_idx].path)] = OrderedDict(
+                    [("audio", stem + ".wav"), ("noise", noise_name),
+                     ("snr", snr)])
+            with open(os.path.join(noise_dir,
+                                   (suffix[1:] or "noise") + ".json"), "w") as fp:
+                json.dump({"snrs": list(cfg.data.snrs), "files": noise_files},
+                          fp, indent=4)
+
+    records: List[OrderedDict] = []
+    for data_id, w in enumerate(windows):
+        f = index[w.file_index]
+        snd, _ = audio_io.load(f.audio_path, sr=sr)
+        labels = np.asarray(w.bits, dtype=np.int64)
+        if clean_audio:
+            ratio = float(sr) / w.framerate
+            mask = bitstream_to_sample_mask_np(
+                labels.astype(np.float32), ratio, len(snd),
+                cfg.data.despeckle_min_run)
+            clean = snd * (1 - mask)
+            noise, snr = assignment[w.file_index]
+            start_pos = int(w.start_frame / w.framerate * sr)
+            cropped = crop_noise_np(noise, len(clean), start=start_pos)
+            mixed, _, _ = mix_at_snr_np(clean, cropped, snr,
+                                        norm=cfg.data.mix_norm)
+        else:
+            mixed = snd
+        bits, conf = predictor.predict_waveform(
+            mixed.astype(np.float32), num_frames=len(labels))
+        records.append(OrderedDict([
+            ("id", data_id),
+            ("path", f.path),
+            ("full_bit_stream", f.bit_stream),
+            ("num_frames", f.num_frames),
+            ("framerate", f.framerate),
+            ("audio_sample_rate", f.audio_sample_rate),
+            ("audio_samples", f.audio_samples),
+            ("duration", f.duration),
+            ("frame_start_idx", w.start_frame),
+            ("label", [str(int(b)) for b in labels]),
+            ("pred_label", [str(int(b)) for b in bits]),
+            ("match", [str(int(b)) for b in labels] ==
+                      [str(int(b)) for b in bits]),
+            ("confidence", [str(c) for c in conf]),
+        ]))
+
+    labels_all = [int(b) for r in records for b in r["label"]]
+    preds_all = [int(b) for r in records for b in r["pred_label"]]
+    stat_dict = OrderedDict([
+        ("data_total_frames", cfg.data.clip_frames),
+        ("data_center_frames", cfg.data.silent_consecutive_frames),
+        ("sigmoid_threshold", predictor.threshold),
+        ("snr", cfg.data.snrs[snr_idx] if snr_idx is not None else None),
+        ("prediction_statistics",
+         OrderedDict([("all", detection_statistics(labels_all, preds_all))])),
+        ("data", sorted(records, key=lambda r: -np.mean(
+            [float(c) for c in r["confidence"]]))),
+    ])
+    out_path = os.path.join(output_dir, f"eval_results{suffix}.json")
+    with open(out_path, "w") as fp:
+        json.dump(stat_dict, fp, indent=4)
+    return out_path
+
+
+# ---------------------------------------------------------------------------
+# Stage bridge: eval_results.json -> pred_data.json + recovered wavs
+# ---------------------------------------------------------------------------
+
+
+def create_data_from_prediction(
+    cfg: ExperimentConfig,
+    input_json: str,
+    output_json: Optional[str] = None,
+    noise_snr: Optional[float] = None,
+    clean_audio: bool = True,
+    save_results: bool = True,
+) -> str:
+    with open(input_json) as fp:
+        payload = json.load(fp)
+    records = sorted(payload["data"], key=lambda r: r["id"])
+    nsuffix = snr_suffix(noise_snr)
+    base_dir = os.path.dirname(os.path.abspath(input_json))
+    if output_json is None:
+        output_json = os.path.join(base_dir, f"pred_data{nsuffix}.json")
+    sr = cfg.data.sample_rate
+
+    groups = []
+    for path, recs in groupby(records, key=lambda r: r["path"]):
+        recs = list(recs)
+        head = recs[0]
+        groups.append(OrderedDict([
+            ("path", path),
+            ("num_frames", head["num_frames"]),
+            ("framerate", head["framerate"]),
+            ("audio_sample_rate", head["audio_sample_rate"]),
+            ("audio_samples", head["audio_samples"]),
+            ("duration", head["duration"]),
+            ("bit_stream", head["full_bit_stream"]),
+            ("ground_truth_bit_stream",
+             "".join(str(int(b)) for r in recs for b in r["label"])),
+            ("predicted_bit_stream",
+             "".join(str(int(b)) for r in recs for b in r["pred_label"])),
+            ("recovered_prediction", None),
+            ("overlay_original", None),
+            ("overlay_predicted", None),
+        ]))
+
+    labels: List[int] = []
+    preds: List[int] = []
+    ds_path = ""
+    save_dir = os.path.join(base_dir, "recovered" + nsuffix)
+    for item in groups:
+        ds_path = item["path"] if not ds_path else os.path.commonprefix(
+            [ds_path, item["path"]])
+        item["num_frames"] = len(item["bit_stream"])
+        item["recovered_prediction"] = item["predicted_bit_stream"]
+        labels += [int(c) for c in item["bit_stream"]]
+        preds += [int(c) for c in item["recovered_prediction"]]
+
+        if not save_results:
+            continue
+        os.makedirs(save_dir, exist_ok=True)
+        wav_path = item["path"]
+        stem = _basename_noext(wav_path)
+        snd, _ = audio_io.load(wav_path, sr=sr)
+        if clean_audio:
+            noise_json = os.path.join(
+                base_dir, "noise" + nsuffix, (nsuffix[1:] or "noise") + ".json")
+            with open(noise_json) as fp:
+                noise_info = json.load(fp)["files"][os.path.basename(wav_path)]
+            noise, _ = audio_io.load(
+                os.path.join(base_dir, "noise" + nsuffix, noise_info["noise"]),
+                sr=sr)
+            noise_crop = crop_noise_np(noise, len(snd), start=0)
+            mixed, clean, full_noise = mix_at_snr_np(
+                snd, noise_crop, noise_info["snr"], norm=cfg.data.mix_norm)
+            for name, sig in (("_mixed", mixed), ("_clean", clean),
+                              ("_full_noise", full_noise)):
+                audio_io.write_wav(
+                    os.path.join(save_dir, stem + name + ".wav"), sig, sr)
+            item["mixed_audio"] = os.path.join(
+                os.path.basename(save_dir), stem + "_mixed.wav")
+            item["clean_audio"] = os.path.join(
+                os.path.basename(save_dir), stem + "_clean.wav")
+            item["full_noise"] = os.path.join(
+                os.path.basename(save_dir), stem + "_full_noise.wav")
+            item["audio_path"] = os.path.join(save_dir, stem + "_clean.wav")
+        else:
+            audio_io.write_wav(
+                os.path.join(save_dir, stem + "_mixed.wav"), snd, sr)
+            item["mixed_audio"] = os.path.join(
+                os.path.basename(save_dir), stem + "_mixed.wav")
+
+    hierarchy = OrderedDict([
+        ("dataset_path", ds_path),
+        ("num_videos", len(groups)),
+        ("data_total_frames", payload["data_total_frames"]),
+        ("data_center_frames", payload["data_center_frames"]),
+        ("sigmoid_threshold", payload["sigmoid_threshold"]),
+        ("snr", noise_snr),
+        ("prediction_statistics", detection_statistics(labels, preds)),
+        ("files", groups),
+    ])
+    with open(output_json, "w") as fp:
+        json.dump(hierarchy, fp, indent=4)
+    return output_json
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: denoiser evaluation
+# ---------------------------------------------------------------------------
+
+
+def evaluate_denoiser(
+    cfg: ExperimentConfig,
+    predictor: DenoiserPredictor,
+    pred_data_json: str,
+    output_dir: str,
+    snr: Optional[float] = None,
+    unknown_clean_signal: bool = False,
+    save_individual_results: bool = True,
+    metrics_sr: int = 16000,
+) -> str:
+    with open(pred_data_json) as fp:
+        payload = json.load(fp)
+    base_dir = os.path.dirname(os.path.abspath(pred_data_json))
+    os.makedirs(output_dir, exist_ok=True)
+    sr = cfg.data.sample_rate
+
+    stat: List[OrderedDict] = []
+    for data in payload["files"]:
+        mixed_path = os.path.join(base_dir, data["mixed_audio"])
+        mixed, _ = audio_io.load(mixed_path, sr=sr)
+        bits = data["recovered_prediction"]
+        outs = predictor.denoise_waveform(mixed, bits,
+                                          framerate=data["framerate"])
+        denoised = outs["denoised"]
+
+        info = OrderedDict([
+            ("id", _basename_noext(data["path"])),
+            ("path", data["path"]),
+        ])
+        if not unknown_clean_signal:
+            clean_path = os.path.join(base_dir, data["clean_audio"])
+            clean, _ = audio_io.load(clean_path, sr=sr)
+            gt_mask = bitstream_to_sample_mask_np(
+                np.asarray([0 if c == "0" else 1 for c in data["bit_stream"]],
+                           np.float32),
+                float(sr) / data["framerate"], len(clean),
+                cfg.data.despeckle_min_run)
+            clean = clean * (1 - gt_mask)
+            info["clean_audio_path"] = clean_path
+            info["mixed_audio_path"] = mixed_path
+            info["full_noise_path"] = os.path.join(base_dir, data["full_noise"])
+            info["bitstream"] = bits
+            info["sr"] = sr
+            info["snr"] = snr
+            out_16k = audio_io.resample(denoised, sr, metrics_sr)
+            clean_16k = audio_io.resample(clean[: len(denoised)], sr, metrics_sr)
+            info.update(evaluate_metrics(out_16k, clean_16k, sr=metrics_sr))
+        else:
+            info["mixed_audio_path"] = mixed_path
+            info["bitstream"] = bits
+            info["sr"] = sr
+            info["snr"] = snr
+
+        if save_individual_results:
+            save_dir = os.path.join(output_dir, snr_suffix(snr)[1:] or "",
+                                    str(info["id"]))
+            os.makedirs(save_dir, exist_ok=True)
+            audio_io.write_wav(os.path.join(save_dir, "noisy_input.wav"),
+                               mixed, sr)
+            audio_io.write_wav(os.path.join(save_dir, "noise_intervals.wav"),
+                               outs["gated_noise"], sr)
+            audio_io.write_wav(
+                os.path.join(save_dir, "predicted_full_noise.wav"),
+                outs["predicted_noise"], sr)
+            audio_io.write_wav(os.path.join(save_dir, "denoised_output.wav"),
+                               denoised, sr)
+            info["noisy_input"] = os.path.join(save_dir, "noisy_input.wav")
+            info["noise_intervals"] = os.path.join(save_dir,
+                                                   "noise_intervals.wav")
+            info["predicted_full_noise"] = os.path.join(
+                save_dir, "predicted_full_noise.wav")
+            info["denoised_output"] = os.path.join(save_dir,
+                                                   "denoised_output.wav")
+            with open(os.path.join(save_dir, "stat.json"), "w") as fp:
+                json.dump(info, fp, indent=4)
+        stat.append(info)
+
+    data_info = OrderedDict([
+        ("dataset_path", payload["dataset_path"]),
+        ("num_videos", payload["num_videos"]),
+        ("data_total_frames", payload["data_total_frames"]),
+        ("data_center_frames", payload["data_center_frames"]),
+        ("sigmoid_threshold", payload["sigmoid_threshold"]),
+        ("snr", snr),
+    ])
+    if not unknown_clean_signal and stat:
+        keys = ("l1", "stoi", "csig", "cbak", "covl", "pesq", "ssnr_regular",
+                "ssnr_shift", "ssnr_clip", "ssnr_exsi", "overall_snr")
+        data_info["denoise_statistics"] = OrderedDict(
+            (f"avg_{k}", float(np.mean([item[k] for item in stat])))
+            for k in keys)
+    data_info["files"] = stat
+
+    out_path = os.path.join(output_dir, f"eval_results{snr_suffix(snr)}.json")
+    with open(out_path, "w") as fp:
+        json.dump(data_info, fp, indent=4)
+    return out_path

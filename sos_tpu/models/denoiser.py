@@ -35,10 +35,14 @@ class InpaintNet(nn.Module):
     """Noise-spectrogram inpainting U-Net (m2 networks.py:152-205)."""
 
     channels: Tuple[int, int, int] = (64, 128, 256)
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, gated_noise: jnp.ndarray, mixed: jnp.ndarray,
                  train: bool = False) -> jnp.ndarray:
+        dtype = jnp.dtype(self.compute_dtype)
+        gated_noise = gated_noise.astype(dtype)
+        mixed = mixed.astype(dtype)
         ch1, ch2, ch3 = self.channels
         dc = lambda f, k, s, d=1, **kw: DownConvBlock(
             features=f, kernel_size=k, stride=s, dilation=d, train=train, **kw)
@@ -75,16 +79,19 @@ class InpaintNet(nn.Module):
         x = dc(ch1, 3, 1, name="up2_conv")(x)
         x = DownConvBlock(features=2, kernel_size=3, stride=1, norm=None,
                           act=None, train=train, name="out")(x)
-        return x  # (B, F, T, 2): predicted full-noise spectrogram
+        # (B, F, T, 2): predicted full-noise spectrogram (float32 out)
+        return x.astype(jnp.float32)
 
 
 class ContextAggNet(nn.Module):
     """Mask predictor over mixed + predicted-noise spectrograms (m2 networks.py:54-94)."""
 
     cfg: DenoiserModelConfig = DenoiserModelConfig()
+    compute_dtype: str = "float32"
 
     def _encoder(self, x, nf, outf, prefix, train):
         cfg = self.cfg
+        x = x.astype(jnp.dtype(self.compute_dtype))
         for i, (ks, dil) in enumerate(zip(cfg.kernel_sizes, cfg.dilations)):
             x = ConvBlock(features=nf, kernel_size=ks, dilation=dil,
                           train=train, name=f"{prefix}{i}")(x)
@@ -92,7 +99,9 @@ class ContextAggNet(nn.Module):
                       train=train, name=f"{prefix}proj")(x)
         # channel-major flatten: (B, F, T, C) -> (B, T, C*F)
         b, f, t, c = x.shape
-        return jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f)
+        out = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f)
+        # BiLSTM + mask head run float32 (mask feeds the cRM inversion).
+        return out.astype(jnp.float32)
 
     @nn.compact
     def __call__(self, mixed: jnp.ndarray, noise_pred: jnp.ndarray,
@@ -116,10 +125,13 @@ class JointDenoiser(nn.Module):
     """InpaintNet -> ContextAggNet (m2 networks.py:208-217)."""
 
     cfg: DenoiserModelConfig = DenoiserModelConfig()
+    compute_dtype: str = "float32"
 
     def setup(self):
-        self.inpaint = InpaintNet(channels=self.cfg.inpaint_ch)
-        self.context = ContextAggNet(cfg=self.cfg)
+        self.inpaint = InpaintNet(channels=self.cfg.inpaint_ch,
+                                  compute_dtype=self.compute_dtype)
+        self.context = ContextAggNet(cfg=self.cfg,
+                                     compute_dtype=self.compute_dtype)
 
     def __call__(self, mixed: jnp.ndarray, gated_noise: jnp.ndarray,
                  train: bool = False):

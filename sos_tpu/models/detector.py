@@ -27,6 +27,8 @@ from sos_tpu.ops.resize import nearest_resize_1d
 class SilenceDetector(nn.Module):
     cfg: DetectorModelConfig = DetectorModelConfig()
 
+    compute_dtype: str = "float32"
+
     @nn.compact
     def __call__(
         self,
@@ -36,7 +38,10 @@ class SilenceDetector(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.cfg
         out_frames = num_frames or cfg.num_frames
-        x = spec
+        # The conv trunk carries ~90% of the FLOPs; run it in the compute
+        # dtype (bf16 doubles MXU throughput on v5e). The BiLSTM and the
+        # classifier head stay float32 (recurrences are precision-fragile).
+        x = spec.astype(jnp.dtype(self.compute_dtype))
         # Dilated conv trunk (kernels/dilations from m1 networks.py:91-93).
         for i, (ks, dil) in enumerate(zip(cfg.kernel_sizes, cfg.dilations)):
             x = ConvBlock(
@@ -54,6 +59,7 @@ class SilenceDetector(nn.Module):
         b, f, t, c = x.shape
         x = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f)  # (B, T, C*F)
         x = nearest_resize_1d(x, out_frames, axis=1)  # (B, frames, C*F)
+        x = x.astype(jnp.float32)
 
         x = BiLSTM(hidden=cfg.lstm_hidden, name="lstm")(x)  # (B, frames, 2H)
         x = TorchLinear(cfg.fc_hidden, name="fc1")(x)

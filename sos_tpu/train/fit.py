@@ -1,0 +1,110 @@
+"""Epoch-loop training driver shared by both stages.
+
+Reproduces the reference training protocol (m1 train.py:44-99):
+
+* epoch loop over the train batcher;
+* a validation step every `val_frequency` train steps via a cycled test
+  iterator;
+* per-epoch full validation; the detector tracks `best_acc` and keeps a
+  `best_acc` checkpoint (train.py:84-88);
+* `ckpt_epoch{N}` + `latest` checkpoints each `save_frequency` epochs;
+* scalar logging to tensorboardX train/val writers (agent.py:46-47,118-124)
+  when tensorboardX is available, silent otherwise.
+
+TPU-native execution: the batch is placed on the `data`-sharded mesh and
+the jitted step (mix+STFT+model+grads+update, one XLA program) runs SPMD.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from sos_tpu.config import ExperimentConfig
+from sos_tpu.parallel import make_mesh, shard_batch, replicated
+from sos_tpu.train.checkpoints import CheckpointManager
+from sos_tpu.train.state import TrainClock, TrainState
+from sos_tpu.utils import StepTimer, cycle
+
+
+def _writers(log_dir: str):
+    try:
+        from tensorboardX import SummaryWriter
+
+        return (SummaryWriter(os.path.join(log_dir, "train.events")),
+                SummaryWriter(os.path.join(log_dir, "val.events")))
+    except ImportError:  # pragma: no cover
+        return None, None
+
+
+def fit(
+    cfg: ExperimentConfig,
+    state: TrainState,
+    clock: TrainClock,
+    train_step: Callable,
+    eval_step: Callable,
+    train_batcher,
+    val_batcher,
+    model_dir: str,
+    log_dir: str,
+    num_devices: Optional[int] = None,
+    track_accuracy: bool = False,
+    epoch_hook: Optional[Callable] = None,
+) -> TrainState:
+    mesh = make_mesh(num_devices=num_devices)
+    mgr = CheckpointManager(model_dir)
+    train_tb, val_tb = _writers(log_dir)
+    timer = StepTimer()
+    best_metric = -np.inf
+
+    val_batcher.set_epoch(0)
+    val_iter = cycle(lambda: iter(val_batcher))
+
+    with mesh:
+        state = jax.device_put(state, replicated(mesh))
+        for epoch in range(clock.epoch, cfg.train.nr_epochs):
+            train_batcher.set_epoch(epoch)
+            for batch in train_batcher:
+                timer.start()
+                sharded = shard_batch(batch, mesh)
+                state, metrics = train_step(state, sharded)
+                timer.stop()
+                if train_tb and clock.step % 10 == 0:
+                    for k, v in metrics.items():
+                        train_tb.add_scalar(k, float(v), global_step=clock.step)
+                    train_tb.add_scalar("steps_per_sec", timer.steps_per_sec,
+                                        global_step=clock.step)
+                if clock.step % cfg.train.val_frequency == 0:
+                    vmetrics = eval_step(state, shard_batch(next(val_iter), mesh))
+                    if val_tb:
+                        for k, v in vmetrics.items():
+                            if np.ndim(v) == 0:
+                                val_tb.add_scalar(k, float(v),
+                                                  global_step=clock.step)
+                clock.tick()
+            clock.tock()
+
+            # full validation pass
+            val_batcher.set_epoch(epoch)
+            agg: Dict[str, list] = {}
+            for batch in val_batcher:
+                out = eval_step(state, shard_batch(batch, mesh))
+                for k, v in out.items():
+                    if np.ndim(v) == 0:
+                        agg.setdefault(k, []).append(float(v))
+            epoch_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+            if val_tb:
+                for k, v in epoch_metrics.items():
+                    val_tb.add_scalar(f"epoch_{k}", v, global_step=clock.epoch)
+            if track_accuracy and epoch_metrics.get("accuracy", -np.inf) > best_metric:
+                best_metric = epoch_metrics["accuracy"]
+                mgr.save(state, clock, "best_acc")
+            if clock.epoch % cfg.train.save_frequency == 0:
+                mgr.save_epoch(state, clock)
+            if epoch_hook:
+                epoch_hook(epoch, state, epoch_metrics)
+    mgr.save(state, clock, "latest")
+    return state

@@ -1,0 +1,156 @@
+"""End-to-end pipeline test: preprocess -> detect -> bridge -> denoise.
+
+Exercises the full two-stage flow on synthetic WAVs with tiny random
+models, verifying every on-disk handshake artifact (dataset JSON,
+eval_results.json, noise dir, pred_data.json, recovered wavs, per-file
+outputs, final metric aggregates) against the reference schemas.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from sos_tpu.config import (
+    DataConfig,
+    DenoiserModelConfig,
+    DetectorModelConfig,
+    ExperimentConfig,
+)
+from sos_tpu.data.preprocess import build_dataset_json, label_bitstream
+from sos_tpu.data.sampling import NoiseBank
+from sos_tpu.dsp import audio_io
+from sos_tpu.infer.denoise import DenoiserPredictor
+from sos_tpu.infer.detect import DetectorPredictor
+from sos_tpu.infer.evaluate import (
+    create_data_from_prediction,
+    evaluate_denoiser,
+    evaluate_detector,
+)
+
+
+def tiny_cfg():
+    return ExperimentConfig(
+        detector=DetectorModelConfig(
+            nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
+            dilations=((1, 1), (2, 2)), lstm_hidden=4, fc_hidden=4),
+        denoiser=DenoiserModelConfig(
+            nf_mixed=4, outf_mixed=2, outf_noise=2,
+            kernel_sizes=((1, 7), (5, 5)), dilations=((1, 1), (2, 2)),
+            lstm_hidden=4, fc_hidden=8, inpaint_ch=(4, 6, 8)),
+        data=DataConfig(),
+    )
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(0)
+    sr = 14000
+    audio_dir = root / "clips"
+    audio_dir.mkdir()
+    for i in range(2):
+        # speech-like bursts with silent gaps
+        n = int(3.0 * sr)
+        y = np.zeros(n, dtype=np.float32)
+        for s in range(0, n, sr):
+            y[s:s + sr // 2] = rng.standard_normal(sr // 2) * 0.3
+        audio_io.write_wav(str(audio_dir / f"clip_{i}.wav"), y, sr)
+    noise = [rng.standard_normal(sr * 5).astype(np.float32) * 0.2
+             for _ in range(2)]
+    return {"root": root, "audio_dir": audio_dir, "sr": sr,
+            "noise": NoiseBank.from_arrays(noise, sr)}
+
+
+def test_full_pipeline(workdir):
+    cfg = tiny_cfg()
+    root = workdir["root"]
+
+    # -- preprocess: build dataset JSON with energy-threshold labels
+    ds_json = str(root / "dataset.json")
+    index = build_dataset_json(str(workdir["audio_dir"]), ds_json,
+                               label_silence=True)
+    assert index.num_files == 2
+    with open(ds_json) as fp:
+        raw = json.load(fp)
+    assert set(raw["files"][0]) >= {
+        "path", "framerate", "audio_sample_rate", "audio_samples",
+        "duration", "num_frames", "bit_stream", "audio_path"}
+    assert set(raw["files"][0]["bit_stream"]) <= {"0", "1", "2"}
+
+    # -- stage 1: detector inference with mixing
+    det_model_vars = None
+    from sos_tpu.models import SilenceDetector
+
+    det = SilenceDetector(cfg.detector)
+    dummy = np.zeros((1, 256, 90, 2), np.float32)
+    det_model_vars = det.init(jax.random.PRNGKey(0), dummy)
+    predictor = DetectorPredictor(cfg, det_model_vars)
+    out_dir = str(root / "outputs")
+    eval_json = evaluate_detector(cfg, predictor, ds_json, out_dir,
+                                  noise_bank=workdir["noise"], snr_idx=3,
+                                  clean_audio=True)
+    with open(eval_json) as fp:
+        payload = json.load(fp)
+    assert payload["data_total_frames"] == 60
+    assert payload["snr"] == 0
+    assert "all" in payload["prediction_statistics"]
+    rec = payload["data"][0]
+    assert len(rec["pred_label"]) == len(rec["label"])
+    assert os.path.isdir(os.path.join(out_dir, "noise_snr0"))
+    noise_json = os.path.join(out_dir, "noise_snr0", "snr0.json")
+    assert os.path.exists(noise_json)
+
+    # -- bridge: eval_results -> pred_data + recovered wavs
+    pred_json = create_data_from_prediction(cfg, eval_json, noise_snr=0,
+                                            clean_audio=True)
+    with open(pred_json) as fp:
+        bridge = json.load(fp)
+    assert bridge["num_videos"] == 2
+    f0 = bridge["files"][0]
+    for key in ("bit_stream", "ground_truth_bit_stream",
+                "predicted_bit_stream", "recovered_prediction",
+                "mixed_audio", "clean_audio", "full_noise"):
+        assert key in f0, key
+    assert len(f0["recovered_prediction"]) == len(f0["ground_truth_bit_stream"])
+    mixed_wav = os.path.join(os.path.dirname(pred_json), f0["mixed_audio"])
+    assert os.path.exists(mixed_wav)
+    # re-mixed additivity: mixed == clean + full_noise
+    m, _ = audio_io.load(mixed_wav, sr=workdir["sr"])
+    c, _ = audio_io.load(mixed_wav.replace("_mixed", "_clean"), sr=workdir["sr"])
+    n, _ = audio_io.load(mixed_wav.replace("_mixed", "_full_noise"),
+                         sr=workdir["sr"])
+    np.testing.assert_allclose(m, c + n, atol=2e-4)  # 16-bit quantization
+
+    # -- stage 2: denoiser inference + metrics
+    from sos_tpu.models import JointDenoiser
+
+    den = JointDenoiser(cfg.denoiser)
+    den_vars = den.init(jax.random.PRNGKey(1),
+                        np.zeros((1, 256, 90, 2), np.float32),
+                        np.zeros((1, 256, 90, 2), np.float32))
+    dpred = DenoiserPredictor(cfg, den_vars)
+    final_dir = str(root / "denoise_out")
+    final_json = evaluate_denoiser(cfg, dpred, pred_json, final_dir, snr=0)
+    with open(final_json) as fp:
+        final = json.load(fp)
+    stats = final["denoise_statistics"]
+    for key in ("avg_l1", "avg_stoi", "avg_ssnr_regular", "avg_overall_snr"):
+        assert key in stats
+        assert np.isfinite(stats[key]), key
+    item = final["files"][0]
+    assert os.path.exists(item["denoised_output"])
+    den_wav, _ = audio_io.load(item["denoised_output"], sr=workdir["sr"])
+    assert len(den_wav) > 0 and np.isfinite(den_wav).all()
+
+
+def test_label_bitstream_energy():
+    sr = 14000
+    y = np.zeros(sr, dtype=np.float32)
+    y[: sr // 2] = 0.5  # loud first half
+    bits = label_bitstream(y, sr, framerate=30.0, threshold=0.08)
+    assert bits[:10] == "1" * 10
+    assert bits[-5:] == "0" * 5
