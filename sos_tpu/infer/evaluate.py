@@ -273,6 +273,7 @@ def evaluate_denoiser(
     snr: Optional[float] = None,
     unknown_clean_signal: bool = False,
     save_individual_results: bool = True,
+    save_visualizations: bool = False,
     metrics_sr: int = 16000,
 ) -> str:
     with open(pred_data_json) as fp:
@@ -338,6 +339,20 @@ def evaluate_denoiser(
                 save_dir, "predicted_full_noise.wav")
             info["denoised_output"] = os.path.join(save_dir,
                                                    "denoised_output.wav")
+            if save_visualizations:
+                from sos_tpu.utils.visualization import (
+                    draw_spectrum, draw_waveform, save_image)
+
+                sigs = [mixed, outs["gated_noise"], outs["predicted_noise"],
+                        denoised]
+                titles = ["Noisy Input", "Noise Intervals",
+                          "Predicted Full Noise", "Denoised Output"]
+                save_image(os.path.join(save_dir, "waveform.png"),
+                           draw_waveform(sigs, sr=sr, titles=titles))
+                save_image(os.path.join(save_dir, "spectrum.png"),
+                           draw_spectrum(sigs, sr=sr, titles=titles))
+                info["waveform"] = os.path.join(save_dir, "waveform.png")
+                info["spectrum"] = os.path.join(save_dir, "spectrum.png")
             with open(os.path.join(save_dir, "stat.json"), "w") as fp:
                 json.dump(info, fp, indent=4)
         stat.append(info)
