@@ -1,0 +1,106 @@
+"""Inference-layer tests: predictors, fused pipeline, streaming overlap-add."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sos_tpu.config import (
+    DataConfig,
+    DenoiserModelConfig,
+    DetectorModelConfig,
+    ExperimentConfig,
+)
+from sos_tpu.infer.denoise import DenoiserPredictor
+from sos_tpu.infer.detect import DetectorPredictor
+from sos_tpu.infer.fused import FusedDenoisePipeline
+from sos_tpu.infer.streaming import StreamingDenoiser
+from sos_tpu.models import JointDenoiser, SilenceDetector
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = ExperimentConfig(
+        detector=DetectorModelConfig(
+            nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
+            dilations=((1, 1), (2, 2)), lstm_hidden=4, fc_hidden=4),
+        denoiser=DenoiserModelConfig(
+            nf_mixed=4, outf_mixed=2, outf_noise=2,
+            kernel_sizes=((1, 7), (5, 5)), dilations=((1, 1), (2, 2)),
+            lstm_hidden=4, fc_hidden=8, inpaint_ch=(4, 6, 8)),
+        data=DataConfig(),
+    )
+    det = SilenceDetector(cfg.detector)
+    den = JointDenoiser(cfg.denoiser)
+    dummy = jnp.zeros((1, 256, 90, 2))
+    det_vars = det.init(jax.random.PRNGKey(0), dummy)
+    den_vars = den.init(jax.random.PRNGKey(1), dummy, dummy)
+    return cfg, det_vars, den_vars
+
+
+def test_detector_predictor(tiny, rng):
+    cfg, det_vars, _ = tiny
+    pred = DetectorPredictor(cfg, det_vars)
+    wav = rng.standard_normal(28000).astype(np.float32) * 0.2
+    bits, conf = pred.predict_waveform(wav, num_frames=60)
+    assert bits.shape == conf.shape == (60,)
+    assert set(np.unique(bits)) <= {0, 1}
+    assert np.all((conf >= 0) & (conf <= 1))
+
+
+def test_denoiser_predictor_lengths(tiny, rng):
+    cfg, _, den_vars = tiny
+    pred = DenoiserPredictor(cfg, den_vars)
+    wav = rng.standard_normal(30000).astype(np.float32) * 0.2
+    bits = "".join(rng.choice(list("01"), 64))
+    outs = pred.denoise_waveform(wav, bits)
+    expected = (1 + 30000 // 158 - 1) * 158
+    assert outs["denoised"].shape == (expected,)
+    assert np.isfinite(outs["denoised"]).all()
+
+
+def test_fused_pipeline(tiny, rng):
+    cfg, det_vars, den_vars = tiny
+    pipe = FusedDenoisePipeline(cfg, det_vars, den_vars, clip_seconds=2.0)
+    mixed = jnp.asarray(rng.standard_normal((2, 28000)).astype(np.float32) * 0.2)
+    denoised, bits = pipe(mixed)
+    assert denoised.shape == (2, (28000 // 158) * 158)
+    assert bits.shape == (2, 60)
+    assert np.isfinite(np.asarray(denoised)).all()
+
+
+def test_streaming_matches_fused_on_short_input(tiny, rng):
+    cfg, det_vars, den_vars = tiny
+    stream = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                               overlap_seconds=0.5)
+    wav = rng.standard_normal(20000).astype(np.float32) * 0.2
+    out = stream.denoise(wav)
+    assert len(out) <= 20000 and len(out) > 0
+    assert np.isfinite(out).all()
+
+
+def test_streaming_long_form(tiny, rng):
+    cfg, det_vars, den_vars = tiny
+    stream = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                               overlap_seconds=0.5, batch_chunks=4)
+    seconds = 10
+    wav = rng.standard_normal(14000 * seconds).astype(np.float32) * 0.2
+    out = stream.denoise(wav)
+    assert len(out) == len(wav)
+    assert np.isfinite(out).all()
+    # interior continuity: no dead zones where crossfades meet
+    assert np.abs(out[14000:14000 * (seconds - 1)]).mean() > 0
+
+
+def test_streaming_consistent_interior(tiny, rng):
+    """A chunk-interior region should roughly match single-shot denoising."""
+    cfg, det_vars, den_vars = tiny
+    stream = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                               overlap_seconds=0.5)
+    wav = rng.standard_normal(28000).astype(np.float32) * 0.2
+    out_stream = stream.denoise(wav)
+    pipe = FusedDenoisePipeline(cfg, det_vars, den_vars, clip_seconds=2.0)
+    out_single = np.asarray(pipe(jnp.asarray(wav)[None])[0][0])
+    n = min(len(out_stream), len(out_single))
+    np.testing.assert_allclose(out_stream[:n], out_single[:n], atol=1e-4)
