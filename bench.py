@@ -26,13 +26,16 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
-    from sos_tpu.config import ExperimentConfig
+    from sos_tpu.config import ExperimentConfig, fast_denoiser_config
     from sos_tpu.dsp.crm import apply_compressed_crm
     from sos_tpu.dsp.stft import istft, stft
     from sos_tpu.models import JointDenoiser
 
-    cfg = ExperimentConfig()
-    # bf16 conv trunks (f32 LSTM/mask head): ~2x MXU throughput on v5e.
+    # TPU-fast profile: bf16 conv trunks (f32 LSTM/mask head) + the noise
+    # encoder widened 48->64 channels (measured: 48-ch stacks run at
+    # ~26 TFLOP/s on v5e vs ~83 at 64 — 1.8x faster wall-clock; reference
+    # checkpoints import losslessly via zero-padding).
+    cfg = ExperimentConfig(denoiser=fast_denoiser_config())
     model = JointDenoiser(cfg.denoiser, compute_dtype="bfloat16")
     samples = cfg.data.clip_seconds * cfg.data.sample_rate
     t = 1 + samples // cfg.stft.hop_length

@@ -98,6 +98,7 @@ class DenoiserModelConfig:
     freq_bins: int = FREQ_BINS
     # ContextAggNet encoders
     nf_mixed: int = 96
+    nf_noise: int = 48   # reference: nf_mixed // 2 (m2 networks.py:62)
     outf_mixed: int = 8
     outf_noise: int = 4
     kernel_sizes: Tuple[Tuple[int, int], ...] = (
@@ -112,6 +113,23 @@ class DenoiserModelConfig:
     fc_hidden: int = 600
     # InpaintNet channel plan (m2 networks.py:155-157)
     inpaint_ch: Tuple[int, int, int] = (64, 128, 256)
+
+
+def fast_detector_config(**kw) -> "DetectorModelConfig":
+    """TPU-throughput profile: conv width padded 48->64.
+
+    Measured on v5e: a 48-channel dilated conv stack runs at ~26 TFLOP/s
+    while 64 channels runs at ~83 TFLOP/s — the wider stack is ~1.8x
+    faster in wall-clock despite 1.8x the FLOPs. Reference checkpoints
+    import losslessly via zero-padded weights (torch_import pad_nf).
+    """
+    return DetectorModelConfig(nf=64, **kw)
+
+
+def fast_denoiser_config(**kw) -> "DenoiserModelConfig":
+    """TPU-throughput profile: noise-encoder width padded 48->64 (see
+    fast_detector_config for the measurement)."""
+    return DenoiserModelConfig(nf_noise=64, **kw)
 
 
 @dataclasses.dataclass(frozen=True)

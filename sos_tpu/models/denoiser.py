@@ -108,7 +108,7 @@ class ContextAggNet(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         cfg = self.cfg
         f_x = self._encoder(mixed, cfg.nf_mixed, cfg.outf_mixed, "enc_x", train)
-        f_n = self._encoder(noise_pred, cfg.nf_mixed // 2, cfg.outf_noise,
+        f_n = self._encoder(noise_pred, cfg.nf_noise, cfg.outf_noise,
                             "enc_n", train)
         h = jnp.concatenate([f_x, f_n], axis=-1)  # (B, T, 12*F/4... = 3072)
         h = BiLSTM(hidden=cfg.lstm_hidden, name="lstm")(h)  # (B, T, 400)

@@ -79,9 +79,10 @@ def test_denoiser_parity(rng):
     with torch.no_grad():
         ref_noise, ref_mask = oracle(torch.from_numpy(mixed), torch.from_numpy(gated))
 
-    cfg = DenoiserModelConfig(freq_bins=freq, nf_mixed=16, outf_mixed=8,
-                              outf_noise=4, kernel_sizes=KS, dilations=DILS,
-                              lstm_hidden=16, fc_hidden=24, inpaint_ch=(8, 12, 16))
+    cfg = DenoiserModelConfig(freq_bins=freq, nf_mixed=16, nf_noise=8,
+                              outf_mixed=8, outf_noise=4, kernel_sizes=KS,
+                              dilations=DILS, lstm_hidden=16, fc_hidden=24,
+                              inpaint_ch=(8, 12, 16))
     model = JointDenoiser(cfg)
     variables = denoiser_torch_to_flax(_state_np(oracle))
     m_nhwc = jnp.asarray(mixed.transpose(0, 2, 3, 1))
@@ -117,3 +118,58 @@ def test_full_size_shapes():
     n_pred, mask = den.apply(variables, mixed, mixed)
     assert n_pred.shape == (1, 256, 178, 2)
     assert mask.shape == (1, 256, 178, 2)
+
+
+def test_detector_parity_padded(rng):
+    """Widened (nf padded) import still matches torch bit-for-bit."""
+    torch.manual_seed(3)
+    gen = torch.Generator().manual_seed(9)
+    freq, t_in, frames = 64, 50, 20
+    oracle = DetectorOracle(SPECS, freq_bins=freq, nf=6, outf=4,
+                            hidden=16, fc_hidden=12)
+    with torch.no_grad():
+        randomize_bn_stats(oracle, gen)
+    oracle.eval()
+    x = rng.standard_normal((2, 2, freq, t_in)).astype(np.float32)
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(x), v_num_frames=frames).numpy()
+
+    cfg = DetectorModelConfig(freq_bins=freq, nf=8, outf=4, kernel_sizes=KS,
+                              dilations=DILS, lstm_hidden=16, fc_hidden=12,
+                              num_frames=frames)
+    model = SilenceDetector(cfg)
+    variables = detector_torch_to_flax(_state_np(oracle), nf=8)
+    ours = np.asarray(model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), num_frames=frames))
+    np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_denoiser_parity_padded(rng):
+    """nf_noise-padded denoiser import matches torch (fast profile is lossless)."""
+    torch.manual_seed(4)
+    gen = torch.Generator().manual_seed(10)
+    freq, t_in = 96, 72
+    oracle = JointOracle(SPECS, freq_bins=freq, ch=(8, 12, 16), nf=12,
+                         hidden=16, fc_hidden=24)
+    with torch.no_grad():
+        randomize_bn_stats(oracle, gen)
+    oracle.eval()
+    mixed = rng.standard_normal((1, 2, freq, t_in)).astype(np.float32)
+    gated = rng.standard_normal((1, 2, freq, t_in)).astype(np.float32)
+    with torch.no_grad():
+        ref_noise, ref_mask = oracle(torch.from_numpy(mixed), torch.from_numpy(gated))
+
+    cfg = DenoiserModelConfig(freq_bins=freq, nf_mixed=12, nf_noise=8,
+                              outf_mixed=8, outf_noise=4, kernel_sizes=KS,
+                              dilations=DILS, lstm_hidden=16, fc_hidden=24,
+                              inpaint_ch=(8, 12, 16))
+    model = JointDenoiser(cfg)
+    variables = denoiser_torch_to_flax(_state_np(oracle), nf_noise=8)
+    our_noise, our_mask = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(mixed.transpose(0, 2, 3, 1)),
+        jnp.asarray(gated.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(our_mask).transpose(0, 3, 1, 2), ref_mask.numpy(),
+        atol=1e-4, rtol=1e-3)

@@ -38,7 +38,7 @@ def tiny_cfg():
             nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
             dilations=((1, 1), (2, 2)), lstm_hidden=4, fc_hidden=4),
         denoiser=DenoiserModelConfig(
-            nf_mixed=4, outf_mixed=2, outf_noise=2,
+            nf_mixed=4, nf_noise=2, outf_mixed=2, outf_noise=2,
             kernel_sizes=((1, 7), (5, 5)), dilations=((1, 1), (2, 2)),
             lstm_hidden=4, fc_hidden=8, inpaint_ch=(4, 6, 8)),
         data=DataConfig(),

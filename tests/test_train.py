@@ -40,7 +40,7 @@ def tiny_detector_cfg():
 def tiny_denoiser_cfg():
     return ExperimentConfig(
         denoiser=DenoiserModelConfig(
-            nf_mixed=8, outf_mixed=4, outf_noise=2,
+            nf_mixed=8, nf_noise=4, outf_mixed=4, outf_noise=2,
             kernel_sizes=((1, 7), (5, 5)),
             dilations=((1, 1), (2, 2)),
             lstm_hidden=8, fc_hidden=16, inpaint_ch=(4, 6, 8)),
