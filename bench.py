@@ -48,29 +48,38 @@ def main() -> None:
     variables = jax.jit(
         lambda k: model.init(k, dummy, dummy, train=False))(rng)
 
-    @jax.jit
     def denoise(params, mixed, mask):
         mixed_stft = stft(mixed)
         gated_stft = stft(mixed * mask)
         _, crm = model.apply(params, mixed_stft, gated_stft, train=False)
         return istft(apply_compressed_crm(mixed_stft, crm))
 
+    # Timing methodology: the remote-TPU runtime's block_until_ready does
+    # not reliably wait for execution — only a host data fetch does. So
+    # all iterations run inside ONE program (lax.scan over distinct
+    # inputs) and the fetched scalar checksum forces completion; the
+    # single dispatch round-trip amortizes over `iters` batches.
+    iters = 10
+
+    @jax.jit
+    def bench_fn(params, stack, mask):
+        def body(carry, m):
+            out = denoise(params, m, mask)
+            return carry + out[:, :: 997].sum(), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), stack)
+        return total
+
     k1, k2 = jax.random.split(rng)
-    mixed = jax.random.normal(k1, (batch, samples), jnp.float32) * 0.1
+    base = jax.random.normal(k1, (batch, samples), jnp.float32) * 0.1
+    stack = jnp.stack([base + 1e-4 * i for i in range(iters)])
     mask = (jax.random.uniform(k2, (batch, samples)) > 0.5).astype(jnp.float32)
 
-    # Warmup/compile.
-    denoise(variables, mixed, mask).block_until_ready()
-
-    # Distinct inputs per iteration (rules out any buffer-level result
-    # caching in the device runtime); dispatches pipeline, block at end.
-    iters = 20
-    inputs = [mixed + 1e-4 * i for i in range(iters)]
-    jax.block_until_ready(inputs)
+    float(bench_fn(variables, stack, mask))  # warmup/compile
     start = time.perf_counter()
-    outs = [denoise(variables, m, mask) for m in inputs]
-    jax.block_until_ready(outs)
+    checksum = float(bench_fn(variables, stack, mask))
     elapsed = time.perf_counter() - start
+    assert np.isfinite(checksum)
 
     audio_sec = iters * batch * (samples / cfg.data.sample_rate)
     throughput = audio_sec / elapsed

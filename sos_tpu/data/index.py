@@ -132,3 +132,17 @@ class DatasetIndex:
                 },
                 fp, indent=4,
             )
+
+
+def combine_datasets(paths, dataset_path: str = "") -> "DatasetIndex":
+    """Merge several dataset JSONs into one (preprocessing/tools.py:170-205
+    `combine_alljson`)."""
+    files: List[FileRecord] = []
+    common = dataset_path
+    for p in paths:
+        idx = DatasetIndex.load(p)
+        files.extend(idx.files)
+        if not dataset_path:
+            common = os.path.commonprefix([common, idx.dataset_path]) \
+                if common else idx.dataset_path
+    return DatasetIndex(dataset_path=common, files=files)

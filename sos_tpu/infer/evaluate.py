@@ -168,6 +168,7 @@ def create_data_from_prediction(
     noise_snr: Optional[float] = None,
     clean_audio: bool = True,
     save_results: bool = True,
+    save_pr_curve: bool = False,
 ) -> str:
     with open(input_json) as fp:
         payload = json.load(fp)
@@ -255,6 +256,33 @@ def create_data_from_prediction(
         ("prediction_statistics", detection_statistics(labels, preds)),
         ("files", groups),
     ])
+
+    if save_pr_curve:
+        # precision-recall over scaled confidences, silent class positive
+        # (create_data_from_pred.py:223-259)
+        confidences = [1.0 - float(c) for r in records for c in r["confidence"]]
+        try:
+            from sklearn.metrics import auc as _auc, precision_recall_curve
+
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            p1, r1, _ = precision_recall_curve(labels, confidences, pos_label=0)
+            ap = _auc(r1, p1)
+            plt.figure()
+            plt.plot(r1, p1, label=f"confidence; AP={ap:.3f}")
+            plt.xlabel("Recall")
+            plt.ylabel("Precision")
+            plt.legend()
+            pr_path = output_json.replace(".json", "_pr.png")
+            plt.savefig(pr_path)
+            plt.close()
+            hierarchy["prediction_statistics"]["pr_curve"] = \
+                os.path.basename(pr_path)
+        except ImportError:
+            pass
     with open(output_json, "w") as fp:
         json.dump(hierarchy, fp, indent=4)
     return output_json

@@ -53,7 +53,13 @@ def fit(
     num_devices: Optional[int] = None,
     track_accuracy: bool = False,
     epoch_hook: Optional[Callable] = None,
+    visualize_hook: Optional[Callable] = None,
+    profile_dir: Optional[str] = None,
+    profile_steps: tuple = (10, 15),
 ) -> TrainState:
+    """Train to cfg.train.nr_epochs. With `profile_dir`, captures a
+    jax.profiler trace of steps [profile_steps) — the observability the
+    reference lacks entirely (SURVEY.md §5: 'tracing: none')."""
     mesh = make_mesh(num_devices=num_devices)
     mgr = CheckpointManager(model_dir)
     train_tb, val_tb = _writers(log_dir)
@@ -68,6 +74,10 @@ def fit(
         for epoch in range(clock.epoch, cfg.train.nr_epochs):
             train_batcher.set_epoch(epoch)
             for batch in train_batcher:
+                if profile_dir and clock.step == profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir and clock.step == profile_steps[1]:
+                    jax.profiler.stop_trace()
                 timer.start()
                 sharded = shard_batch(batch, mesh)
                 state, metrics = train_step(state, sharded)
@@ -84,6 +94,9 @@ def fit(
                             if np.ndim(v) == 0:
                                 val_tb.add_scalar(k, float(v),
                                                   global_step=clock.step)
+                if (visualize_hook
+                        and clock.step % cfg.train.visualize_frequency == 0):
+                    visualize_hook(train_tb, state, batch, clock.step)
                 clock.tick()
             clock.tock()
 

@@ -109,6 +109,17 @@ def _bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
         jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
 
+def weighted_bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray,
+                             weights: Tuple[float, float] = (1.0, 1.0)) -> jnp.ndarray:
+    """Class-weighted BCE (reference `weighted_binary_cross_entropy`,
+    m1 tools.py:541-577 — kept available though the final detector uses
+    the unweighted loss). weights = (w_negative, w_positive)."""
+    p = jax.nn.log_sigmoid(logits)
+    q = jax.nn.log_sigmoid(-logits)  # log(1 - sigmoid)
+    loss = -(weights[1] * labels * p + weights[0] * (1.0 - labels) * q)
+    return jnp.mean(loss)
+
+
 def make_detector_train_step(cfg: ExperimentConfig, model: SilenceDetector,
                              steps_per_epoch: int) -> Callable:
     tx = make_optimizer(cfg, steps_per_epoch)
