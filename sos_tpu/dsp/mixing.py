@@ -236,6 +236,18 @@ def truncate_padding(bitstream: str) -> Tuple[int, int]:
     return start, end
 
 
+def bandpass_filter(signal: np.ndarray, lowcut: float, highcut: float,
+                    sr: int, order: int = 5) -> np.ndarray:
+    """Butterworth band-pass (reference's experimental helper,
+    m2 tools.py:365-380; kept for the commented 300-3400 Hz speech-band
+    post-filter in m2 predict.py)."""
+    from scipy.signal import butter, lfilter
+
+    nyq = 0.5 * sr
+    b, a = butter(order, [lowcut / nyq, highcut / nyq], btype="band")
+    return lfilter(b, a, signal).astype(np.float32)
+
+
 def filter_bitstream(bits: str, min_silent_interval: int) -> str:
     """Overwrite '0'-runs shorter than `min_silent_interval` with '1's.
 
