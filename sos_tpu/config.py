@@ -167,6 +167,10 @@ class TrainConfig:
     data_axis: str = "data"         # mesh axis name for data parallelism
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # flip to bfloat16 for speed
+    # Rematerialize the model forward in the backward pass. The full-size
+    # denoiser at batch 40 OOMs 16G HBM without it (conv-stack
+    # activations); remat trades ~1.3x FLOPs for fitting comfortably.
+    remat: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -124,6 +124,15 @@ def make_detector_train_step(cfg: ExperimentConfig, model: SilenceDetector,
                              steps_per_epoch: int) -> Callable:
     tx = make_optimizer(cfg, steps_per_epoch)
 
+    def fwd(params, batch_stats, audio):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            audio, num_frames=cfg.data.clip_frames,
+            train=True, mutable=["batch_stats"])
+
+    if cfg.train.remat:
+        fwd = jax.checkpoint(fwd)
+
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         prepared = device_mix_and_stft_detector(
@@ -131,10 +140,7 @@ def make_detector_train_step(cfg: ExperimentConfig, model: SilenceDetector,
             cfg.data, cfg.stft)
 
         def loss_fn(params):
-            outs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                prepared["audio"], num_frames=cfg.data.clip_frames,
-                train=True, mutable=["batch_stats"])
+            outs, mutated = fwd(params, state.batch_stats, prepared["audio"])
             loss = _bce_with_logits(outs, prepared["label"])
             return loss, (mutated["batch_stats"], outs)
 
@@ -177,6 +183,14 @@ def make_denoiser_train_step(cfg: ExperimentConfig, model: JointDenoiser,
                              steps_per_epoch: int) -> Callable:
     tx = make_optimizer(cfg, steps_per_epoch)
 
+    def fwd(params, batch_stats, mixed, noise):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            mixed, noise, train=True, mutable=["batch_stats"])
+
+    if cfg.train.remat:
+        fwd = jax.checkpoint(fwd)
+
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         d = device_mix_and_stft_denoiser(
@@ -184,9 +198,8 @@ def make_denoiser_train_step(cfg: ExperimentConfig, model: JointDenoiser,
             cfg.data, cfg.stft)
 
         def loss_fn(params):
-            (noise_pred, mask), mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                d["mixed"], d["noise"], train=True, mutable=["batch_stats"])
+            (noise_pred, mask), mutated = fwd(params, state.batch_stats,
+                                              d["mixed"], d["noise"])
             rec = apply_compressed_crm(d["mixed"], mask)
             loss_inpaint = jnp.mean((noise_pred - d["full_noise"]) ** 2)
             loss_rec = jnp.mean((rec - d["clean"]) ** 2)
