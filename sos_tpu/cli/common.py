@@ -36,6 +36,8 @@ def add_common_train_args(parser: argparse.ArgumentParser,
                         help="noise corpus root(s) (DEMAND/AudioSet style)")
     parser.add_argument("--output_root", type=str, default="model_output")
     parser.add_argument("--name", type=str, default="experiment")
+    parser.add_argument("--config_json", type=str, default=None,
+                        help="ExperimentConfig JSON file (CLI flags override)")
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
@@ -44,7 +46,15 @@ def add_common_train_args(parser: argparse.ArgumentParser,
 
 
 def config_from_args(args, stage: str) -> ExperimentConfig:
-    base = ExperimentConfig(name=args.name, output_root=args.output_root)
+    if getattr(args, "config_json", None):
+        import dataclasses
+
+        with open(args.config_json) as fp:
+            base = ExperimentConfig.from_json(fp.read())
+        base = dataclasses.replace(base, name=args.name,
+                                   output_root=args.output_root)
+    else:
+        base = ExperimentConfig(name=args.name, output_root=args.output_root)
     train_kw = {}
     if args.epochs is not None:
         train_kw["nr_epochs"] = args.epochs

@@ -36,6 +36,7 @@ class InpaintNet(nn.Module):
 
     channels: Tuple[int, int, int] = (64, 128, 256)
     compute_dtype: str = "float32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, gated_noise: jnp.ndarray, mixed: jnp.ndarray,
@@ -44,7 +45,8 @@ class InpaintNet(nn.Module):
         gated_noise = gated_noise.astype(dtype)
         mixed = mixed.astype(dtype)
         ch1, ch2, ch3 = self.channels
-        dc = lambda f, k, s, d=1, **kw: DownConvBlock(
+        down_cls = nn.remat(DownConvBlock) if self.remat else DownConvBlock
+        dc = lambda f, k, s, d=1, **kw: down_cls(
             features=f, kernel_size=k, stride=s, dilation=d, train=train, **kw)
 
         # Encoder A: silence-gated noise observation.
@@ -77,8 +79,8 @@ class InpaintNet(nn.Module):
             x = linear_resize_2d(x, down3.shape[1:3], h_axis=1, w_axis=2)
         x = jnp.concatenate([x, down3], axis=-1)
         x = dc(ch1, 3, 1, name="up2_conv")(x)
-        x = DownConvBlock(features=2, kernel_size=3, stride=1, norm=None,
-                          act=None, train=train, name="out")(x)
+        x = down_cls(features=2, kernel_size=3, stride=1, norm=None,
+                     act=None, train=train, name="out")(x)
         # (B, F, T, 2): predicted full-noise spectrogram (float32 out)
         return x.astype(jnp.float32)
 
@@ -88,14 +90,16 @@ class ContextAggNet(nn.Module):
 
     cfg: DenoiserModelConfig = DenoiserModelConfig()
     compute_dtype: str = "float32"
+    remat: bool = False
 
     def _encoder(self, x, nf, outf, prefix, train):
         cfg = self.cfg
+        block_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
         x = x.astype(jnp.dtype(self.compute_dtype))
         for i, (ks, dil) in enumerate(zip(cfg.kernel_sizes, cfg.dilations)):
-            x = ConvBlock(features=nf, kernel_size=ks, dilation=dil,
+            x = block_cls(features=nf, kernel_size=ks, dilation=dil,
                           train=train, name=f"{prefix}{i}")(x)
-        x = ConvBlock(features=outf, kernel_size=(1, 1), dilation=(1, 1),
+        x = block_cls(features=outf, kernel_size=(1, 1), dilation=(1, 1),
                       train=train, name=f"{prefix}proj")(x)
         # channel-major flatten: (B, F, T, C) -> (B, T, C*F)
         b, f, t, c = x.shape
@@ -126,12 +130,15 @@ class JointDenoiser(nn.Module):
 
     cfg: DenoiserModelConfig = DenoiserModelConfig()
     compute_dtype: str = "float32"
+    remat: bool = False
 
     def setup(self):
         self.inpaint = InpaintNet(channels=self.cfg.inpaint_ch,
-                                  compute_dtype=self.compute_dtype)
+                                  compute_dtype=self.compute_dtype,
+                                  remat=self.remat)
         self.context = ContextAggNet(cfg=self.cfg,
-                                     compute_dtype=self.compute_dtype)
+                                     compute_dtype=self.compute_dtype,
+                                     remat=self.remat)
 
     def __call__(self, mixed: jnp.ndarray, gated_noise: jnp.ndarray,
                  train: bool = False):

@@ -28,6 +28,7 @@ class SilenceDetector(nn.Module):
     cfg: DetectorModelConfig = DetectorModelConfig()
 
     compute_dtype: str = "float32"
+    remat: bool = False  # per-block rematerialization (training memory)
 
     @nn.compact
     def __call__(
@@ -38,17 +39,18 @@ class SilenceDetector(nn.Module):
     ) -> jnp.ndarray:
         cfg = self.cfg
         out_frames = num_frames or cfg.num_frames
+        block_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
         # The conv trunk carries ~90% of the FLOPs; run it in the compute
         # dtype (bf16 doubles MXU throughput on v5e). The BiLSTM and the
         # classifier head stay float32 (recurrences are precision-fragile).
         x = spec.astype(jnp.dtype(self.compute_dtype))
         # Dilated conv trunk (kernels/dilations from m1 networks.py:91-93).
         for i, (ks, dil) in enumerate(zip(cfg.kernel_sizes, cfg.dilations)):
-            x = ConvBlock(
+            x = block_cls(
                 features=cfg.nf, kernel_size=ks, dilation=dil,
                 train=train, name=f"conv{i}",
             )(x)
-        x = ConvBlock(
+        x = block_cls(
             features=cfg.outf, kernel_size=(1, 1), dilation=(1, 1),
             train=train, name="proj",
         )(x)  # (B, F, T, outf)

@@ -60,6 +60,11 @@ def fit(
     """Train to cfg.train.nr_epochs. With `profile_dir`, captures a
     jax.profiler trace of steps [profile_steps) — the observability the
     reference lacks entirely (SURVEY.md §5: 'tracing: none')."""
+    if num_devices is None:
+        # largest device count that divides the batch (batch dim 0 shards)
+        num_devices = len(jax.devices())
+        while cfg.train.batch_size % num_devices:
+            num_devices -= 1
     mesh = make_mesh(num_devices=num_devices)
     mgr = CheckpointManager(model_dir)
     train_tb, val_tb = _writers(log_dir)

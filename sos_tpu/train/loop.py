@@ -62,7 +62,9 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
 def init_detector_state(cfg: ExperimentConfig, steps_per_epoch: int,
                         rng: Optional[jax.Array] = None,
                         variables: Optional[Dict] = None) -> Tuple[SilenceDetector, TrainState]:
-    model = SilenceDetector(cfg.detector)
+    model = SilenceDetector(cfg.detector,
+                            compute_dtype=cfg.train.compute_dtype,
+                            remat=cfg.train.remat)
     if variables is None:
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
         t = 1 + int(cfg.data.clip_frames / cfg.data.frame_rate
@@ -82,7 +84,9 @@ def init_detector_state(cfg: ExperimentConfig, steps_per_epoch: int,
 def init_denoiser_state(cfg: ExperimentConfig, steps_per_epoch: int,
                         rng: Optional[jax.Array] = None,
                         variables: Optional[Dict] = None) -> Tuple[JointDenoiser, TrainState]:
-    model = JointDenoiser(cfg.denoiser)
+    model = JointDenoiser(cfg.denoiser,
+                          compute_dtype=cfg.train.compute_dtype,
+                          remat=cfg.train.remat)
     if variables is None:
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
         t = 1 + cfg.data.clip_seconds * cfg.data.sample_rate // cfg.stft.hop_length
@@ -124,14 +128,12 @@ def make_detector_train_step(cfg: ExperimentConfig, model: SilenceDetector,
                              steps_per_epoch: int) -> Callable:
     tx = make_optimizer(cfg, steps_per_epoch)
 
+    # remat happens per-block inside the model (cfg.train.remat)
     def fwd(params, batch_stats, audio):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             audio, num_frames=cfg.data.clip_frames,
             train=True, mutable=["batch_stats"])
-
-    if cfg.train.remat:
-        fwd = jax.checkpoint(fwd)
 
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -183,13 +185,11 @@ def make_denoiser_train_step(cfg: ExperimentConfig, model: JointDenoiser,
                              steps_per_epoch: int) -> Callable:
     tx = make_optimizer(cfg, steps_per_epoch)
 
+    # remat happens per-block inside the model (cfg.train.remat)
     def fwd(params, batch_stats, mixed, noise):
         return model.apply(
             {"params": params, "batch_stats": batch_stats},
             mixed, noise, train=True, mutable=["batch_stats"])
-
-    if cfg.train.remat:
-        fwd = jax.checkpoint(fwd)
 
     @jax.jit
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):

@@ -1,0 +1,116 @@
+"""CLI smoke tests: full command-line flows on tiny configs/fixtures.
+
+Drives the actual argparse mains (monkeypatched argv) through:
+preprocess -> train_detector (1 epoch) -> predict_detector -> bridge ->
+predict_denoiser -> report, all with a tiny ExperimentConfig JSON.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from sos_tpu.config import (
+    DataConfig,
+    DenoiserModelConfig,
+    DetectorModelConfig,
+    ExperimentConfig,
+    TrainConfig,
+)
+from sos_tpu.dsp import audio_io
+
+
+def _tiny_cfg():
+    return ExperimentConfig(
+        detector=DetectorModelConfig(
+            nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
+            dilations=((1, 1), (2, 2)), lstm_hidden=4, fc_hidden=4),
+        denoiser=DenoiserModelConfig(
+            nf_mixed=4, nf_noise=2, outf_mixed=2, outf_noise=2,
+            kernel_sizes=((1, 7), (5, 5)), dilations=((1, 1), (2, 2)),
+            lstm_hidden=4, fc_hidden=8, inpaint_ch=(4, 6, 8)),
+        data=DataConfig(num_train_samples=8),
+        train=TrainConfig(nr_epochs=1, batch_size=2, val_frequency=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def cli_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(7)
+    sr = 14000
+    audio_dir = root / "clips"
+    audio_dir.mkdir()
+    for i in range(2):
+        n = int(4.0 * sr)
+        y = np.zeros(n, dtype=np.float32)
+        for s in range(0, n, sr):
+            y[s:s + sr // 2] = rng.standard_normal(sr // 2) * 0.3
+        audio_io.write_wav(str(audio_dir / f"c{i}.wav"), y, sr)
+    noise_dir = root / "noise"
+    noise_dir.mkdir()
+    for i in range(2):
+        audio_io.write_wav(str(noise_dir / f"n{i}.wav"),
+                           rng.standard_normal(sr * 6).astype(np.float32) * 0.2,
+                           sr)
+    cfg_path = root / "tiny_config.json"
+    cfg_path.write_text(_tiny_cfg().to_json())
+    return {"root": root, "audio_dir": str(audio_dir),
+            "noise_dir": str(noise_dir), "cfg": str(cfg_path)}
+
+
+def _run(main_fn, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    main_fn()
+
+
+def test_cli_full_flow(cli_env, monkeypatch):
+    root = cli_env["root"]
+    ds_json = str(root / "ds.json")
+
+    from sos_tpu.cli import (
+        bridge, predict_denoiser, predict_detector, preprocess, report,
+        train_detector, train_denoiser)
+
+    _run(preprocess.main,
+         ["--audio_dir", cli_env["audio_dir"], "--output_json", ds_json,
+          "--label_silence"], monkeypatch)
+    assert os.path.exists(ds_json)
+
+    out_root = str(root / "model_output")
+    common = ["--dataset_json", ds_json, "--noise_root", cli_env["noise_dir"],
+              "--output_root", out_root, "--config_json", cli_env["cfg"],
+              "--name", "tiny"]
+    _run(train_detector.main, common + ["--epochs", "1"], monkeypatch)
+    det_model_dir = os.path.join(out_root, "tiny_detector", "model")
+    assert os.path.isdir(os.path.join(det_model_dir, "latest"))
+
+    _run(train_denoiser.main, common + ["--epochs", "1"], monkeypatch)
+    den_model_dir = os.path.join(out_root, "tiny_denoiser", "model")
+    assert os.path.isdir(os.path.join(den_model_dir, "latest"))
+
+    pred_out = str(root / "pred_outputs")
+    _run(predict_detector.main, common + ["--ckpt", "latest", "--snr_idx",
+         "3", "--outputs", pred_out], monkeypatch)
+    eval_json = os.path.join(pred_out, "eval_results_snr0.json")
+    assert os.path.exists(eval_json)
+
+    _run(bridge.main, ["--input_json", eval_json, "--snr", "0"], monkeypatch)
+    pred_data = os.path.join(pred_out, "pred_data_snr0.json")
+    assert os.path.exists(pred_data)
+
+    final_out = str(root / "denoise_outputs")
+    _run(predict_denoiser.main,
+         ["--pred_data", pred_data, "--ckpt", "latest", "--snr", "0",
+          "--output_root", out_root, "--config_json", cli_env["cfg"],
+          "--name", "tiny", "--outputs", final_out], monkeypatch)
+    final_json = os.path.join(final_out, "eval_results_snr0.json")
+    assert os.path.exists(final_json)
+    with open(final_json) as fp:
+        payload = json.load(fp)
+    assert "denoise_statistics" in payload
+
+    _run(report.main, ["--results_dir", final_out], monkeypatch)
