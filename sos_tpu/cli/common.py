@@ -60,7 +60,7 @@ def config_from_args(args, stage: str) -> ExperimentConfig:
         train_kw["nr_epochs"] = args.epochs
     if args.batch_size is not None:
         train_kw["batch_size"] = args.batch_size
-    elif stage == "denoiser":
+    elif stage == "denoiser" and not getattr(args, "config_json", None):
         train_kw["batch_size"] = 40  # m2 common.py:52
     if args.lr is not None:
         train_kw["lr"] = args.lr

@@ -38,8 +38,9 @@ def main() -> None:
         detector_windows(train_idx.files, cfg.data.clip_frames),
         num=cfg.data.num_train_samples, seed=cfg.data.random_seed)
     base_test = detector_windows(test_idx.files, cfg.data.clip_frames)
-    test_windows = subsample_windows(base_test, num=len(base_test) // 10,
-                                     seed=cfg.data.random_seed)
+    test_windows = subsample_windows(
+        base_test, num=max(cfg.train.batch_size, len(base_test) // 10),
+        seed=cfg.data.random_seed)
 
     train_b = DetectorBatcher(train_windows, noise, cfg.data,
                               cfg.train.batch_size, shuffle=True,

@@ -72,7 +72,8 @@ def fit(
     best_metric = -np.inf
 
     val_batcher.set_epoch(0)
-    val_iter = cycle(lambda: iter(val_batcher))
+    has_val = len(val_batcher) > 0
+    val_iter = cycle(lambda: iter(val_batcher)) if has_val else None
 
     with mesh:
         state = jax.device_put(state, replicated(mesh))
@@ -92,7 +93,7 @@ def fit(
                         train_tb.add_scalar(k, float(v), global_step=clock.step)
                     train_tb.add_scalar("steps_per_sec", timer.steps_per_sec,
                                         global_step=clock.step)
-                if clock.step % cfg.train.val_frequency == 0:
+                if has_val and clock.step % cfg.train.val_frequency == 0:
                     vmetrics = eval_step(state, shard_batch(next(val_iter), mesh))
                     if val_tb:
                         for k, v in vmetrics.items():

@@ -19,5 +19,9 @@ def cycle(iterable_factory) -> Iterator:
     utils.py:169-172).
     """
     while True:
+        produced = False
         for item in iterable_factory():
+            produced = True
             yield item
+        if not produced:
+            raise ValueError("cycle() over an empty iterable would spin forever")
