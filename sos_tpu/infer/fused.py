@@ -75,3 +75,26 @@ class FusedDenoisePipeline:
         assert mixed.shape[-1] == self.clip_samples, (
             mixed.shape, self.clip_samples)
         return self._run(self.detector_vars, self.denoiser_vars, mixed)
+
+    def shard(self, mesh, axis: str = "data") -> "FusedDenoisePipeline":
+        """Serve batch-sharded over a device mesh (SPMD inference).
+
+        Replicates the variables and marks the batch dim sharded; the same
+        jitted program then scales over however many chips the mesh has
+        (each call's batch must divide the mesh size).
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        self.detector_vars = jax.device_put(self.detector_vars, rep)
+        self.denoiser_vars = jax.device_put(self.denoiser_vars, rep)
+        inner = self._run
+        batch_sh = NamedSharding(mesh, P(axis))
+
+        def sharded_run(det_vars, den_vars, mixed):
+            mixed = jax.device_put(mixed, batch_sh)
+            return inner(det_vars, den_vars, mixed)
+
+        self._run = sharded_run
+        return self

@@ -104,3 +104,24 @@ def test_streaming_consistent_interior(tiny, rng):
     out_single = np.asarray(pipe(jnp.asarray(wav)[None])[0][0])
     n = min(len(out_stream), len(out_single))
     np.testing.assert_allclose(out_stream[:n], out_single[:n], atol=1e-4)
+
+
+def test_fused_pipeline_sharded_over_mesh(tiny, rng):
+    """Batch-sharded SPMD inference matches single-device results."""
+    import jax
+    from sos_tpu.parallel import make_mesh
+
+    cfg, det_vars, den_vars = tiny
+    n = min(4, len(jax.devices()))
+    mixed = jnp.asarray(rng.standard_normal((n, 28000)).astype(np.float32) * 0.2)
+
+    pipe = FusedDenoisePipeline(cfg, det_vars, den_vars, clip_seconds=2.0)
+    ref_out, ref_bits = pipe(mixed)
+
+    mesh = make_mesh(num_devices=n)
+    sharded = FusedDenoisePipeline(cfg, det_vars, den_vars,
+                                   clip_seconds=2.0).shard(mesh)
+    with mesh:
+        out, bits = sharded(mixed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref_bits))
