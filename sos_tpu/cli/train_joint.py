@@ -1,0 +1,75 @@
+"""Joint end-to-end training of both stages in one SPMD step.
+
+Usage:
+    python -m sos_tpu.cli.train_joint --dataset_json data/train.json \
+        --noise_root data/noise_data_DEMAND/train_noise
+
+BASELINE config[3] capability: one data pipeline and one jitted step
+train the detector (BCE) and the denoiser (dual MSE) together; both
+checkpoints land in their stage directories, loadable by the regular
+predict CLIs.
+"""
+
+import argparse
+
+import jax
+import numpy as np
+
+from sos_tpu.cli.common import add_common_train_args, config_from_args, experiment_dirs
+from sos_tpu.data import DenoiserBatcher, DatasetIndex, NoiseBank, denoiser_windows
+from sos_tpu.parallel import make_mesh, replicated, shard_batch
+from sos_tpu.train.checkpoints import CheckpointManager
+from sos_tpu.train.joint import init_joint_states, make_joint_train_step
+from sos_tpu.train.state import TrainClock
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    add_common_train_args(parser)
+    args = parser.parse_args()
+    cfg = config_from_args(args, stage="joint")
+    _, _, det_model_dir = experiment_dirs(cfg, "detector")
+    _, _, den_model_dir = experiment_dirs(cfg, "denoiser")
+
+    train_idx = DatasetIndex.load(args.dataset_json)
+    noise = NoiseBank.from_roots(args.noise_root, cfg.data.sample_rate)
+    windows = denoiser_windows(train_idx.files, cfg.data.clip_seconds,
+                               cfg.data.overlap_seconds)
+    batcher = DenoiserBatcher(windows, noise, cfg.data, cfg.train.batch_size,
+                              shuffle=True, seed=cfg.train.seed)
+    steps_per_epoch = max(1, len(batcher))
+
+    (det_model, det_state), (den_model, den_state) = init_joint_states(
+        cfg, steps_per_epoch, seed=cfg.train.seed)
+    step = make_joint_train_step(cfg, det_model, den_model, steps_per_epoch)
+    det_mgr = CheckpointManager(det_model_dir)
+    den_mgr = CheckpointManager(den_model_dir)
+    clock = TrainClock()
+
+    num_devices = args.num_devices
+    if num_devices is None:
+        num_devices = len(jax.devices())
+        while cfg.train.batch_size % num_devices:
+            num_devices -= 1
+    mesh = make_mesh(num_devices=num_devices)
+    with mesh:
+        det_state = jax.device_put(det_state, replicated(mesh))
+        den_state = jax.device_put(den_state, replicated(mesh))
+        for epoch in range(cfg.train.nr_epochs):
+            batcher.set_epoch(epoch)
+            for batch in batcher:
+                det_state, den_state, metrics = step(
+                    det_state, den_state, shard_batch(batch, mesh))
+                if clock.step % 10 == 0:
+                    print(f"step {clock.step}: "
+                          f"det={float(metrics['detector_loss']):.4f} "
+                          f"den={float(metrics['denoiser_loss']):.4f}")
+                clock.tick()
+            clock.tock()
+            det_mgr.save_epoch(det_state, clock)
+            den_mgr.save_epoch(den_state, clock)
+    print("joint training complete")
+
+
+if __name__ == "__main__":
+    main()

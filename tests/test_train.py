@@ -154,3 +154,50 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
+
+
+def test_joint_train_step():
+    """Joint detector+denoiser step (BASELINE config[3]) learns both losses."""
+    import dataclasses
+
+    from sos_tpu.train.joint import init_joint_states, make_joint_train_step
+
+    det_cfg = tiny_detector_cfg()
+    den_cfg = tiny_denoiser_cfg()
+    cfg = dataclasses.replace(det_cfg, denoiser=den_cfg.denoiser,
+                              data=DataConfig(clip_seconds=1))
+    (det_model, det_state), (den_model, den_state) = init_joint_states(
+        cfg, steps_per_epoch=5)
+    step = make_joint_train_step(cfg, det_model, den_model, steps_per_epoch=5)
+    batch = _denoiser_batch(cfg, 2)
+    losses = []
+    for _ in range(3):
+        det_state, den_state, metrics = step(det_state, den_state, batch)
+        losses.append((float(metrics["detector_loss"]),
+                       float(metrics["denoiser_loss"])))
+    assert all(np.isfinite(v) for pair in losses for v in pair)
+    assert losses[-1][0] < losses[0][0]
+    assert losses[-1][1] < losses[0][1]
+
+
+def test_joint_step_sharded():
+    import dataclasses
+
+    from sos_tpu.train.joint import init_joint_states, make_joint_train_step
+
+    cfg = dataclasses.replace(tiny_detector_cfg(),
+                              denoiser=tiny_denoiser_cfg().denoiser,
+                              data=DataConfig(clip_seconds=1))
+    n = min(4, len(jax.devices()))
+    mesh = make_mesh(num_devices=n)
+    (det_model, det_state), (den_model, den_state) = init_joint_states(
+        cfg, steps_per_epoch=5)
+    step = make_joint_train_step(cfg, det_model, den_model, steps_per_epoch=5)
+    batch = _denoiser_batch(cfg, n)
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        rep = jax.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        det_state = jax.device_put(det_state, rep)
+        den_state = jax.device_put(den_state, rep)
+        _, _, metrics = step(det_state, den_state, sharded)
+    assert np.isfinite(float(metrics["denoiser_loss"]))
