@@ -97,17 +97,34 @@ def device_mix_and_stft_denoiser(
 
 
 class _WavCache:
-    """Decode-once cache of waveforms at the processing sample rate."""
+    """Decode-once cache of waveforms at the processing sample rate.
 
-    def __init__(self, sample_rate: int, capacity: int = 256):
+    With `use_native=True`, decode+resample run through the C++ engine
+    (sos_tpu.runtime) when the library builds; falls back silently.
+    """
+
+    def __init__(self, sample_rate: int, capacity: int = 256,
+                 use_native: bool = True):
         self.sample_rate = sample_rate
         self.capacity = capacity
         self._store: Dict[str, np.ndarray] = {}
+        self._engine = None
+        if use_native:
+            try:
+                from sos_tpu.runtime import NativeAudioEngine, native_available
+
+                if native_available():
+                    self._engine = NativeAudioEngine()
+            except Exception:
+                self._engine = None
 
     def get(self, path: str) -> np.ndarray:
         hit = self._store.get(path)
         if hit is None:
-            hit, _ = audio_io.load(path, sr=self.sample_rate)
+            if self._engine is not None:
+                hit, _ = self._engine.load(path, sr=self.sample_rate)
+            else:
+                hit, _ = audio_io.load(path, sr=self.sample_rate)
             if len(self._store) >= self.capacity:
                 self._store.pop(next(iter(self._store)))
             self._store[path] = hit

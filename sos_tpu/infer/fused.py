@@ -31,11 +31,13 @@ class FusedDenoisePipeline:
 
     def __init__(self, cfg: ExperimentConfig, detector_vars: Dict,
                  denoiser_vars: Dict, threshold: float = 0.5,
-                 clip_seconds: float = 2.0):
+                 clip_seconds: float = 2.0, compute_dtype: str = "float32"):
         self.cfg = cfg
         self.threshold = threshold
-        self.detector = SilenceDetector(cfg.detector)
-        self.denoiser = JointDenoiser(cfg.denoiser)
+        self.detector = SilenceDetector(cfg.detector,
+                                        compute_dtype=compute_dtype)
+        self.denoiser = JointDenoiser(cfg.denoiser,
+                                      compute_dtype=compute_dtype)
         self.detector_vars = detector_vars
         self.denoiser_vars = denoiser_vars
         self.clip_samples = int(clip_seconds * cfg.data.sample_rate)
