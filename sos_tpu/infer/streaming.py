@@ -65,8 +65,15 @@ class StreamingDenoiser:
         outs = []
         for b in range(0, len(starts), self.batch_chunks):
             batch = chunks[b:b + self.batch_chunks]
+            real = len(batch)
+            if real < self.batch_chunks:
+                # pad to the fixed batch: ONE compiled program serves any
+                # duration (a ragged tail batch would compile a second one)
+                batch = np.concatenate(
+                    [batch, np.zeros((self.batch_chunks - real, self.chunk),
+                                     dtype=np.float32)])
             out, _ = self.pipeline(jnp.asarray(batch))
-            outs.append(np.asarray(out))
+            outs.append(np.asarray(out)[:real])
         denoised_chunks = np.concatenate(outs, axis=0)  # (C, valid)
 
         total = starts[-1] + self.valid
