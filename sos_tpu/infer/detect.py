@@ -41,7 +41,9 @@ class DetectorPredictor:
         self.buckets = tuple(buckets) if buckets else None
 
     @functools.lru_cache(maxsize=64)
-    def _compiled(self, spec_frames: int, num_frames: int):
+    def _compiled(self, padded_samples: int, num_frames: int):
+        # padded_samples participates only as the compile-cache key — the
+        # actual length is captured from the traced waveform shape.
         model = self.model
 
         @jax.jit
@@ -52,7 +54,6 @@ class DetectorPredictor:
                                  train=False)
             return jax.nn.sigmoid(logits)
 
-        del spec_frames  # length is captured via the waveform shape
         return run
 
     def _bucket_len(self, num_samples: int) -> int:

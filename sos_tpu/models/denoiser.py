@@ -28,7 +28,7 @@ from flax import linen as nn
 from sos_tpu.config import DenoiserModelConfig
 from sos_tpu.models.layers import ConvBlock, DownConvBlock, TorchLinear, UpConvBlock
 from sos_tpu.ops.lstm import BiLSTM
-from sos_tpu.ops.resize import linear_resize_2d
+from sos_tpu.ops.resize import nearest_resize_2d
 
 
 class InpaintNet(nn.Module):
@@ -69,14 +69,14 @@ class InpaintNet(nn.Module):
                         train=train, name="mid_up")(x)
 
         if x.shape[1:3] != down4.shape[1:3]:
-            x = linear_resize_2d(x, down4.shape[1:3], h_axis=1, w_axis=2)
+            x = nearest_resize_2d(x, down4.shape[1:3], h_axis=1, w_axis=2)
         x = jnp.concatenate([x, down4], axis=-1)
         x = dc(ch2, 3, 1, name="up1_conv")(x)
         x = UpConvBlock(features=ch1, kernel_size=3, stride=2,
                         train=train, name="up1_up")(x)
 
         if x.shape[1:3] != down3.shape[1:3]:
-            x = linear_resize_2d(x, down3.shape[1:3], h_axis=1, w_axis=2)
+            x = nearest_resize_2d(x, down3.shape[1:3], h_axis=1, w_axis=2)
         x = jnp.concatenate([x, down3], axis=-1)
         x = dc(ch1, 3, 1, name="up2_conv")(x)
         x = down_cls(features=2, kernel_size=3, stride=1, norm=None,

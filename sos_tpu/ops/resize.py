@@ -29,7 +29,7 @@ def nearest_resize_1d(x: jnp.ndarray, out_len: int, axis: int) -> jnp.ndarray:
     return jnp.take(x, idx, axis=axis)
 
 
-def linear_resize_2d(x: jnp.ndarray, out_hw, h_axis: int, w_axis: int) -> jnp.ndarray:
+def nearest_resize_2d(x: jnp.ndarray, out_hw, h_axis: int, w_axis: int) -> jnp.ndarray:
     """Nearest 2-D resize used by InpaintNet's skip-shape fixups.
 
     m2 networks.py:199-203 calls `F.interpolate(out, size)` (mode nearest)
@@ -38,3 +38,6 @@ def linear_resize_2d(x: jnp.ndarray, out_hw, h_axis: int, w_axis: int) -> jnp.nd
     x = nearest_resize_1d(x, out_hw[0], h_axis)
     x = nearest_resize_1d(x, out_hw[1], w_axis)
     return x
+
+
+linear_resize_2d = nearest_resize_2d  # deprecated alias
