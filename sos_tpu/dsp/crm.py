@@ -51,9 +51,36 @@ def crm_sigmoid_recover(o: jnp.ndarray, a: float = 0.1, b: float = 0.0) -> jnp.n
     return 1.0 / a * (jnp.log(o / (1.0 - o + _EPS) + 1e-10) + b)
 
 
+def crm_tanh_compress(m: jnp.ndarray, k: float = 10.0, c: float = 0.1) -> jnp.ndarray:
+    """Hyperbolic-tangent cRM compression into (-K, K) (transform.py:57-74).
+
+    The reference's alternative compression (the shipped pipeline uses the
+    sigmoid family); kept for checkpoint/experiment compatibility.
+    """
+    return k * jnp.tanh(c / 2.0 * m)
+
+
+def crm_tanh_recover(o: jnp.ndarray, k: float = 10.0, c: float = 0.1) -> jnp.ndarray:
+    """Inverse of :func:`crm_tanh_compress` with the reference's epsilons
+    (transform.py:77-89)."""
+    return -(1.0 / c) * jnp.log((k - o + _EPS) / (k + o + _EPS))
+
+
 def compressed_crm(clean: jnp.ndarray, noisy: jnp.ndarray) -> jnp.ndarray:
     """Ground-truth compressed cRM (reference `fast_cRM_sigmoid`, transform.py:130-138)."""
     return crm_sigmoid_compress(complex_ratio_mask(noisy, clean))
+
+
+def compressed_crm_tanh(clean: jnp.ndarray, noisy: jnp.ndarray,
+                        k: float = 10.0, c: float = 0.1) -> jnp.ndarray:
+    """Tanh-compressed gt cRM (reference `fast_cRM`, transform.py:102-112)."""
+    return crm_tanh_compress(complex_ratio_mask(noisy, clean), k, c)
+
+
+def apply_compressed_crm_tanh(noisy: jnp.ndarray, crm: jnp.ndarray,
+                              k: float = 10.0, c: float = 0.1) -> jnp.ndarray:
+    """Recover S = tanh_recover(crm) * Y (reference `fast_icRM`, transform.py:115-127)."""
+    return apply_mask_complex(noisy, crm_tanh_recover(crm, k, c))
 
 
 def apply_mask_complex(noisy: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:

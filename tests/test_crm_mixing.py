@@ -132,3 +132,25 @@ def test_truncate_and_filter_bitstream():
     assert truncate_padding("1101") == (0, 4)
     assert filter_bitstream("110001101", 3) == "110001111"
     assert filter_bitstream("0011", 3) == "1111"
+
+
+def test_crm_tanh_roundtrip(rng):
+    from sos_tpu.dsp.crm import (
+        apply_compressed_crm_tanh, compressed_crm_tanh,
+        crm_tanh_compress, crm_tanh_recover)
+
+    m = rng.standard_normal((16, 8, 2)).astype(np.float64) * 3
+    o = crm_tanh_compress(jnp.asarray(m))
+    assert np.all(np.abs(np.asarray(o)) < 10.0)
+    m2 = crm_tanh_recover(o)
+    np.testing.assert_allclose(np.asarray(m2), m, atol=1e-4, rtol=1e-4)
+    # matches the reference's elementwise formulas (transform.py:57-89)
+    k_, c_ = 10.0, 0.1
+    ref_o = k_ * (1 - np.exp(-c_ * m)) / (1 + np.exp(-c_ * m))
+    np.testing.assert_allclose(np.asarray(o), ref_o, atol=1e-6)
+
+    noisy = rng.standard_normal((8, 6, 2))
+    clean = rng.standard_normal((8, 6, 2)) * 0.5
+    crm = compressed_crm_tanh(jnp.asarray(clean), jnp.asarray(noisy))
+    rec = apply_compressed_crm_tanh(jnp.asarray(noisy), crm)
+    np.testing.assert_allclose(np.asarray(rec), clean, atol=2e-3, rtol=1e-2)
