@@ -71,8 +71,14 @@ def evaluate_detector(
     snr_idx: Optional[int] = None,
     clean_audio: bool = True,
     save_noise_info: bool = True,
+    save_individual_results: bool = False,
 ) -> str:
-    """Run full-utterance detection over a dataset JSON; write eval_results."""
+    """Run full-utterance detection over a dataset JSON; write eval_results.
+
+    `save_individual_results` saves the mixed input wav for "interesting"
+    items — any with mismatched or silent frames (m1 predict.py:150-176
+    keeps audio/plots for label != pred or silent cases).
+    """
     os.makedirs(output_dir, exist_ok=True)
     index = DatasetIndex.load(dataset_json)
     windows = detector_windows(index.files, cfg.data.clip_frames, pred=True)
@@ -121,6 +127,14 @@ def evaluate_detector(
             mixed = snd
         bits, conf = predictor.predict_waveform(
             mixed.astype(np.float32), num_frames=len(labels))
+        extra: Dict[str, str] = {}
+        if save_individual_results and (
+                not np.array_equal(bits, labels) or 0 in labels or 0 in bits):
+            audio_dir = os.path.join(output_dir, "audio" + suffix)
+            os.makedirs(audio_dir, exist_ok=True)
+            wav_rel = os.path.join("audio" + suffix, f"{data_id}.wav")
+            audio_io.write_wav(os.path.join(output_dir, wav_rel), mixed, sr)
+            extra["audio"] = wav_rel
         records.append(OrderedDict([
             ("id", data_id),
             ("path", f.path),
@@ -136,7 +150,7 @@ def evaluate_detector(
             ("match", [str(int(b)) for b in labels] ==
                       [str(int(b)) for b in bits]),
             ("confidence", [str(c) for c in conf]),
-        ]))
+        ] + list(extra.items())))
 
     labels_all = [int(b) for r in records for b in r["label"]]
     preds_all = [int(b) for r in records for b in r["pred_label"]]
