@@ -114,3 +114,22 @@ def test_cli_full_flow(cli_env, monkeypatch):
     assert "denoise_statistics" in payload
 
     _run(report.main, ["--results_dir", final_out], monkeypatch)
+
+
+def test_cli_one_shot_denoise(cli_env, monkeypatch):
+    """The single-command wav->wav tool runs on trained tiny checkpoints."""
+    root = cli_env["root"]
+    out_root = str(root / "model_output")
+    out_wav = str(root / "denoised.wav")
+    from sos_tpu.cli import denoise
+    from sos_tpu.dsp import audio_io
+
+    in_wav = os.path.join(cli_env["audio_dir"], "c0.wav")
+    _run(denoise.main,
+         ["--input", in_wav, "--output", out_wav,
+          "--output_root", out_root, "--config_json", cli_env["cfg"],
+          "--name", "tiny", "--chunk_seconds", "2.0",
+          "--overlap_seconds", "0.5"], monkeypatch)
+    assert os.path.exists(out_wav)
+    y, sr = audio_io.load(out_wav)
+    assert sr == 14000 and len(y) > 0 and np.isfinite(y).all()
