@@ -4,9 +4,9 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
-from sos_tpu.config import ExperimentConfig, TrainConfig, DataConfig
+from sos_tpu.config import ExperimentConfig
 
 
 def experiment_dirs(cfg: ExperimentConfig, stage: str) -> Tuple[str, str, str]:

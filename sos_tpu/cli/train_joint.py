@@ -13,7 +13,6 @@ predict CLIs.
 import argparse
 
 import jax
-import numpy as np
 
 from sos_tpu.cli.common import add_common_train_args, config_from_args, experiment_dirs
 from sos_tpu.data import DenoiserBatcher, DatasetIndex, NoiseBank, denoiser_windows

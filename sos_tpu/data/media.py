@@ -13,7 +13,7 @@ import json
 import os
 import shutil
 import subprocess
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 def _tool(name: str) -> str:

@@ -19,7 +19,7 @@ Batch layouts:
 from __future__ import annotations
 
 import functools
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,6 @@ of the reference's `(2, 256, T)` tensors (m1 dataset.py:288-289).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ per-frame Python loops:
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.interpolate import interp1d

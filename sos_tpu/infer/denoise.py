@@ -10,7 +10,7 @@ bitstream -> sample-mask prep stay on host.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

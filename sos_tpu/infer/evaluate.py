@@ -24,7 +24,7 @@ import json
 import os
 from collections import OrderedDict
 from itertools import groupby
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -13,7 +13,6 @@ round-trips, every stage fused by XLA, MXU-resident throughout.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

@@ -11,7 +11,7 @@ across the chunk batch dimension.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ recurrences are precision-sensitive (SURVEY.md §7 risks).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,7 +18,7 @@ running the two reference trainers.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,6 @@ import optax
 from sos_tpu.config import ExperimentConfig
 from sos_tpu.data.pipeline import device_mix_and_stft_denoiser
 from sos_tpu.dsp.crm import apply_compressed_crm
-from sos_tpu.dsp.stft import stft
 from sos_tpu.models import JointDenoiser, SilenceDetector
 from sos_tpu.train.loop import (
     _bce_with_logits,

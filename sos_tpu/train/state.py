@@ -12,7 +12,6 @@ import dataclasses
 from typing import Any, Dict, Optional
 
 import jax
-import optax
 from flax import struct
 
 

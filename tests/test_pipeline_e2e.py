@@ -154,3 +154,64 @@ def test_label_bitstream_energy():
     bits = label_bitstream(y, sr, framerate=30.0, threshold=0.08)
     assert bits[:10] == "1" * 10
     assert bits[-5:] == "0" * 5
+
+
+def test_detector_eval_unknown_clean_signal(workdir):
+    """--unknown_clean_signal path: no mixing, no noise artifacts."""
+    import jax
+
+    from sos_tpu.models import SilenceDetector
+
+    cfg = tiny_cfg()
+    det = SilenceDetector(cfg.detector)
+    det_vars = det.init(jax.random.PRNGKey(0),
+                        np.zeros((1, 256, 90, 2), np.float32))
+    predictor = DetectorPredictor(cfg, det_vars)
+    root = workdir["root"]
+    ds_json = str(root / "dataset.json")
+    out_dir = str(root / "unknown_outputs")
+    eval_json = evaluate_detector(cfg, predictor, ds_json, out_dir,
+                                  noise_bank=None, clean_audio=False)
+    with open(eval_json) as fp:
+        payload = json.load(fp)
+    assert payload["snr"] is None
+    assert not os.path.isdir(os.path.join(out_dir, "noise"))
+    assert len(payload["data"]) == 2
+
+
+def test_fit_profiler_hook(tmp_path):
+    """jax.profiler trace capture around steps doesn't disturb training."""
+    from sos_tpu.data import DetectorBatcher, NoiseBank, detector_windows
+    from sos_tpu.data.preprocess import build_dataset_json
+    from sos_tpu.train.fit import fit
+    from sos_tpu.train.loop import (
+        init_detector_state, make_detector_eval_step, make_detector_train_step)
+    from sos_tpu.train.state import TrainClock
+
+    rng = np.random.default_rng(3)
+    audio_dir = tmp_path / "clips"
+    audio_dir.mkdir()
+    sr = 14000
+    for i in range(2):
+        audio_io.write_wav(str(audio_dir / f"c{i}.wav"),
+                           rng.standard_normal(sr * 4).astype(np.float32) * 0.3,
+                           sr)
+    idx = build_dataset_json(str(audio_dir), str(tmp_path / "ds.json"))
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, nr_epochs=1, batch_size=2,
+                                       val_frequency=2))
+    noise = NoiseBank.from_arrays(
+        [rng.standard_normal(sr * 5).astype(np.float32)], sr)
+    wins = detector_windows(idx.files, cfg.data.clip_frames)
+    train_b = DetectorBatcher(wins, noise, cfg.data, 2, shuffle=True)
+    val_b = DetectorBatcher(wins, noise, cfg.data, 2, shuffle=False)
+    model, state = init_detector_state(cfg, steps_per_epoch=len(train_b))
+    fit(cfg, state, TrainClock(),
+        make_detector_train_step(cfg, model, len(train_b)),
+        make_detector_eval_step(cfg, model),
+        train_b, val_b, str(tmp_path / "model"), str(tmp_path / "log"),
+        profile_dir=str(tmp_path / "trace"), profile_steps=(1, 2))
+    assert os.path.isdir(str(tmp_path / "trace"))
