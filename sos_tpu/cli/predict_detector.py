@@ -41,6 +41,9 @@ def main() -> None:
                         help="import a reference PyTorch checkpoint instead")
     parser.add_argument("--snr_idx", type=int, default=None)
     parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--buckets", type=int, nargs="*", default=None,
+                        help="length buckets (spectrogram frames) for "
+                             "compile reuse; numerically exact")
     parser.add_argument(
         "--unknown_clean_signal",
         type=lambda x: str(x).lower() in ("true", "1", "yes"), default=False)
@@ -56,7 +59,8 @@ def main() -> None:
     outputs = args.outputs or os.path.join(exp_dir, "outputs", os.path.basename(
         args.dataset_json).split(".json")[0])
     variables = load_detector_variables(cfg, model_dir, args.ckpt, args.pth)
-    predictor = DetectorPredictor(cfg, variables, threshold=args.threshold)
+    predictor = DetectorPredictor(cfg, variables, threshold=args.threshold,
+                                  buckets=args.buckets or None)
 
     clean_audio = not args.unknown_clean_signal
     noise = NoiseBank.from_roots(args.noise_root, cfg.data.sample_rate) \

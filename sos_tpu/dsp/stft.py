@@ -135,23 +135,28 @@ def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
     return out[..., : (num_frames - 1) * hop + n_fft]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length"))
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length",
+                                             "win_length", "center"))
 def stft(
     y: jnp.ndarray,
     n_fft: int = N_FFT,
     hop_length: int = HOP_LENGTH,
     win_length: int = WIN_LENGTH,
+    center: bool = True,
 ) -> jnp.ndarray:
     """Centered STFT of `(..., L)` -> `(..., F, T, 2)` (real/imag last).
 
     Matches `librosa.stft(y, n_fft, hop_length, win_length)` followed by
     the reference's `real_imag_expand` channel packing (transform.py:10-22),
     modulo the layout transpose documented in the module docstring.
+    `center=False` skips the reflect padding (caller pre-padded — used by
+    the exact length-bucketing path).
     """
     bins = n_fft // 2 + 1
     pad = n_fft // 2
     y = y.astype(jnp.float32)
-    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+    if center:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
     frames = frame_signal(y, n_fft, hop_length)  # (..., T, n_fft)
     mat = jnp.asarray(_analysis_matrix(n_fft, win_length))
     spec = jnp.matmul(frames, mat, precision=_HIGHEST)  # (..., T, 2*bins)

@@ -36,7 +36,15 @@ class SilenceDetector(nn.Module):
         spec: jnp.ndarray,
         num_frames: Optional[int] = None,
         train: bool = False,
+        valid_t: Optional[jnp.ndarray] = None,
+        valid_frames: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
+        """spec: (B, F, T, 2). `valid_t`/`valid_frames` (traced scalars)
+        enable exact length-bucketed inference: spectrogram frames >=
+        valid_t are treated as nonexistent (re-zeroed after every conv so
+        SAME padding behaves like the unpadded program), the nearest
+        resample maps the `num_frames` grid onto [0, valid_t), and the
+        BiLSTM masks steps >= valid_frames."""
         cfg = self.cfg
         out_frames = num_frames or cfg.num_frames
         block_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
@@ -44,12 +52,22 @@ class SilenceDetector(nn.Module):
         # dtype (bf16 doubles MXU throughput on v5e). The BiLSTM and the
         # classifier head stay float32 (recurrences are precision-fragile).
         x = spec.astype(jnp.dtype(self.compute_dtype))
+        t_total = x.shape[2]
+        tmask = None
+        if valid_t is not None:
+            tmask = (jnp.arange(t_total) < valid_t).astype(x.dtype)[
+                None, None, :, None]
+            x = x * tmask
         # Dilated conv trunk (kernels/dilations from m1 networks.py:91-93).
         for i, (ks, dil) in enumerate(zip(cfg.kernel_sizes, cfg.dilations)):
             x = block_cls(
                 features=cfg.nf, kernel_size=ks, dilation=dil,
                 train=train, name=f"conv{i}",
             )(x)
+            if tmask is not None:
+                # invalid frames become BN-bias garbage; re-zero so the
+                # next SAME conv sees the unpadded program's zero padding
+                x = x * tmask
         x = block_cls(
             features=cfg.outf, kernel_size=(1, 1), dilation=(1, 1),
             train=train, name="proj",
@@ -60,10 +78,19 @@ class SilenceDetector(nn.Module):
         # the video-frame grid with torch-nearest indices (networks.py:133).
         b, f, t, c = x.shape
         x = jnp.transpose(x, (0, 2, 3, 1)).reshape(b, t, c * f)  # (B, T, C*F)
-        x = nearest_resize_1d(x, out_frames, axis=1)  # (B, frames, C*F)
+        if valid_t is None:
+            x = nearest_resize_1d(x, out_frames, axis=1)  # (B, frames, C*F)
+        else:
+            vf = valid_frames if valid_frames is not None else out_frames
+            # floor(j * valid_t / vf) in exact integer arithmetic
+            idx = (jnp.arange(out_frames, dtype=jnp.int32)
+                   * jnp.asarray(valid_t, jnp.int32)) // jnp.asarray(vf, jnp.int32)
+            idx = jnp.clip(idx, 0, t - 1)
+            x = jnp.take(x, idx, axis=1)
         x = x.astype(jnp.float32)
 
-        x = BiLSTM(hidden=cfg.lstm_hidden, name="lstm")(x)  # (B, frames, 2H)
+        x = BiLSTM(hidden=cfg.lstm_hidden, name="lstm")(
+            x, valid_len=valid_frames)  # (B, frames, 2H)
         x = TorchLinear(cfg.fc_hidden, name="fc1")(x)
         x = nn.relu(x)
         x = TorchLinear(1, name="fc2")(x)

@@ -27,14 +27,25 @@ def lstm_scan(
     x_proj: jnp.ndarray,  # (T, B, 4H): x @ W_ih^T + b_ih + b_hh, precomputed
     w_hh: jnp.ndarray,    # (H, 4H)
     reverse: bool = False,
+    step_mask: Optional[jnp.ndarray] = None,  # (T,) 1=valid, 0=padding
 ) -> jnp.ndarray:
-    """Run the LSTM recurrence over pre-projected inputs. Returns (T, B, H)."""
+    """Run the LSTM recurrence over pre-projected inputs. Returns (T, B, H).
+
+    `step_mask` zeroes the carry at padding steps, so a reverse scan over a
+    zero-padded tail enters the valid region with a fresh (zero) state —
+    bucketed sequences then produce *exactly* the same valid-step outputs
+    as unpadded ones.
+    """
     hidden = w_hh.shape[0]
     batch = x_proj.shape[1]
     h0 = jnp.zeros((batch, hidden), dtype=jnp.float32)
     c0 = jnp.zeros((batch, hidden), dtype=jnp.float32)
 
-    def step(carry, xp):
+    def step(carry, inputs):
+        if step_mask is None:
+            xp = inputs
+        else:
+            xp, m = inputs
         h, c = carry
         gates = xp + jnp.matmul(h, w_hh, precision=_HIGHEST)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
@@ -44,10 +55,15 @@ def lstm_scan(
         o = jax.nn.sigmoid(o)
         c_new = f * c + i * g
         h_new = o * jnp.tanh(c_new)
+        if step_mask is not None:
+            h_new = h_new * m
+            c_new = c_new * m
         return (h_new, c_new), h_new
 
-    _, hs = jax.lax.scan(step, (h0, c0), x_proj.astype(jnp.float32),
-                         reverse=reverse)
+    xs = x_proj.astype(jnp.float32)
+    if step_mask is not None:
+        xs = (xs, step_mask.astype(jnp.float32)[:, None, None])
+    _, hs = jax.lax.scan(step, (h0, c0), xs, reverse=reverse)
     return hs
 
 
@@ -61,7 +77,11 @@ class BiLSTM(nn.Module):
     hidden: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 valid_len: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x: (B, T, C). With `valid_len` (traced scalar), steps >= valid_len
+        are treated as padding: outputs there are zero and the backward
+        direction starts fresh at valid_len-1 (exact bucketing)."""
         in_features = x.shape[-1]
         h = self.hidden
 
@@ -81,10 +101,14 @@ class BiLSTM(nn.Module):
 
         w_ih_f, w_hh_f, b_f = _make("fwd")
         w_ih_b, w_hh_b, b_b = _make("bwd")
+        step_mask = None
+        if valid_len is not None:
+            t_total = x.shape[1]
+            step_mask = (jnp.arange(t_total) < valid_len)
         # Hoisted input projections: one MXU matmul per direction.
         proj_f = jnp.matmul(tmaj, w_ih_f, precision=_HIGHEST) + b_f
         proj_b = jnp.matmul(tmaj, w_ih_b, precision=_HIGHEST) + b_b
-        hs_f = lstm_scan(proj_f, w_hh_f, reverse=False)
-        hs_b = lstm_scan(proj_b, w_hh_b, reverse=True)
+        hs_f = lstm_scan(proj_f, w_hh_f, reverse=False, step_mask=step_mask)
+        hs_b = lstm_scan(proj_b, w_hh_b, reverse=True, step_mask=step_mask)
         out = jnp.concatenate([hs_f, hs_b], axis=-1)  # (T, B, 2H)
         return jnp.swapaxes(out, 0, 1).astype(x.dtype)

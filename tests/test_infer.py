@@ -125,3 +125,19 @@ def test_fused_pipeline_sharded_over_mesh(tiny, rng):
         out, bits = sharded(mixed)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref_bits))
+
+
+def test_detector_bucketed_exact(tiny, rng):
+    """Bucketed inference (one program per bucket) is numerically exact:
+    identical bits and confidences vs per-length compilation."""
+    cfg, det_vars, _ = tiny
+    exact = DetectorPredictor(cfg, det_vars, buckets=None)
+    bucketed = DetectorPredictor(cfg, det_vars, buckets=(256, 512))
+    for length, frames in ((28000, 60), (20000, 43), (33000, 71)):
+        wav = rng.standard_normal(length).astype(np.float32) * 0.2
+        bits_e, conf_e = exact.predict_waveform(wav, num_frames=frames)
+        bits_b, conf_b = bucketed.predict_waveform(wav, num_frames=frames)
+        np.testing.assert_allclose(conf_b, conf_e, atol=2e-5), length
+        np.testing.assert_array_equal(bits_b, bits_e)
+    # all three lengths share the same two compiled programs
+    assert bucketed._compiled_bucketed.cache_info().currsize <= 2

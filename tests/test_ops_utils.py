@@ -86,3 +86,19 @@ def test_cycle_reshuffles_and_raises_on_empty():
 
     with pytest.raises(ValueError):
         next(cycle(lambda: iter([])))
+
+
+def test_masked_bilstm_exact_bucketing(rng):
+    """Padded sequence + valid_len == unpadded sequence on valid steps."""
+    c, h, b = 6, 4, 2
+    model = BiLSTM(hidden=h)
+    x_valid = rng.standard_normal((b, 9, c)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x_valid))
+    want = np.asarray(model.apply(variables, jnp.asarray(x_valid)))
+
+    x_pad = np.concatenate(
+        [x_valid, rng.standard_normal((b, 7, c)).astype(np.float32)], axis=1)
+    got = np.asarray(model.apply(variables, jnp.asarray(x_pad),
+                                 valid_len=jnp.int32(9)))
+    np.testing.assert_allclose(got[:, :9], want, atol=1e-6)
+    np.testing.assert_array_equal(got[:, 9:], 0)
