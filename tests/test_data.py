@@ -144,3 +144,29 @@ def test_batcher_epoch_reshuffle(tmp_path):
     again = next(iter(batcher))["bits"].copy()
     # noise/snr draws differ per epoch but window order is seed-deterministic
     np.testing.assert_array_equal(first, again)
+
+
+def test_wav_decode_stereo_24bit(tmp_path, rng):
+    """Hand-built 24-bit stereo RIFF decodes with channel-mean downmix."""
+    import struct
+
+    sr, n = 8000, 1000
+    left = (rng.standard_normal(n) * 0.4).clip(-1, 1)
+    right = (rng.standard_normal(n) * 0.4).clip(-1, 1)
+
+    def pcm24(x):
+        v = int(x * (1 << 23))
+        v = max(-(1 << 23), min((1 << 23) - 1, v)) & 0xFFFFFF
+        return struct.pack("<I", v)[:3]
+
+    frames = b"".join(pcm24(l) + pcm24(r) for l, r in zip(left, right))
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(frames)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 6, 6, 24)
+           + b"data" + struct.pack("<I", len(frames)))
+    path = str(tmp_path / "s24.wav")
+    with open(path, "wb") as fp:
+        fp.write(hdr + frames)
+
+    y, got_sr = audio_io.load(path)
+    assert got_sr == sr and len(y) == n
+    np.testing.assert_allclose(y, (left + right) / 2, atol=2e-7)
