@@ -132,3 +132,79 @@ def test_evaluate_metrics_keys(rng):
     assert np.isfinite(m["l1"]) and np.isfinite(m["stoi"])
     assert np.isfinite(m["ssnr_regular"]) and np.isfinite(m["overall_snr"])
     # pesq (and its composites) are NaN when no PESQ backend is installed
+
+
+def test_wss_matches_loop_oracle(rng):
+    """Vectorized WSS == literal per-frame translation of the algorithm."""
+    clean, deg = _speech_pair(rng, seconds=0.5, snr_db=5)
+    srate, eps = 16000, 1e-10
+    winlength = int(round(30 * srate / 1000))
+    skip = winlength // 4
+    num_frames = int(len(clean) / skip - winlength / skip)
+    tt = np.arange(1, winlength + 1) / (winlength + 1)
+    w = 0.5 * (1 - np.cos(2 * np.pi * tt))
+    n_fft = int(2 ** np.ceil(np.log2(2 * winlength)))
+    from sos_tpu.eval.speech import _critical_band_filters, _nearest_peaks
+
+    filters = _critical_band_filters(srate, n_fft // 2)
+    want = []
+    start = 0
+    for _ in range(num_frames):
+        cf = clean[start:start + winlength] * w
+        df = deg[start:start + winlength] * w
+        cs = np.abs(np.fft.fft(cf, n_fft))[: n_fft // 2] ** 2
+        ps = np.abs(np.fft.fft(df, n_fft))[: n_fft // 2] ** 2
+        ce = 10 * np.log10(np.maximum(cs @ filters.T, eps))
+        pe = 10 * np.log10(np.maximum(ps @ filters.T, eps))
+        c_slope, p_slope = np.diff(ce), np.diff(pe)
+        c_peak = _nearest_peaks(ce, c_slope)
+        p_peak = _nearest_peaks(pe, p_slope)
+        wc = (20 / (20 + ce.max() - ce[:-1])) * (1 / (1 + c_peak - ce[:-1]))
+        wp = (20 / (20 + pe.max() - pe[:-1])) * (1 / (1 + p_peak - pe[:-1]))
+        ww = (wc + wp) / 2
+        want.append(np.sum(ww * (c_slope - p_slope) ** 2) / np.sum(ww))
+        start += skip
+    got = wss(clean, deg, srate)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-10)
+
+
+def test_llr_matches_scipy_lpc_oracle(rng):
+    """Batched Levinson-Durbin LLR == per-frame toeplitz/solve oracle.
+
+    Uses a broadband AR(2) signal — pure tones make order-16 LPC
+    ill-conditioned and numerically incomparable across solvers.
+    """
+    from scipy.linalg import solve_toeplitz, toeplitz
+    from scipy.signal import lfilter
+
+    srate = 16000
+    n = int(0.4 * srate)
+    clean = lfilter([1.0], [1.0, -1.2, 0.6],
+                    rng.standard_normal(n)).astype(np.float64)
+    deg = clean + 0.3 * lfilter([1.0], [1.0, -0.5],
+                                rng.standard_normal(n))
+    winlength = int(round(30 * srate / 1000))
+    skip = winlength // 4
+    num_frames = int(len(clean) / skip - winlength / skip)
+    tt = np.arange(1, winlength + 1) / (winlength + 1)
+    w = 0.5 * (1 - np.cos(2 * np.pi * tt))
+    order = 16
+
+    def lpc(frame):
+        r = np.array([np.dot(frame[: winlength - k], frame[k:])
+                      for k in range(order + 1)])
+        a = solve_toeplitz((r[:-1], r[:-1]), r[1:])
+        return r, np.concatenate([[1.0], -a])
+
+    want = []
+    start = 0
+    for _ in range(num_frames):
+        cf = clean[start:start + winlength] * w
+        df = deg[start:start + winlength] * w
+        r_c, a_c = lpc(cf)
+        _, a_d = lpc(df)
+        t = toeplitz(r_c)
+        want.append(np.log((a_d @ t @ a_d) / (a_c @ t @ a_c)))
+        start += skip
+    got = llr(clean, deg, srate)
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6, atol=1e-8)
