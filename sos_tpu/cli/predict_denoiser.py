@@ -39,6 +39,9 @@ def main() -> None:
                         help="stage-1 bridge output JSON")
     parser.add_argument("--pth", type=str, default=None)
     parser.add_argument("--snr", type=float, default=None)
+    parser.add_argument("--buckets", type=int, nargs="*", default=None,
+                        help="length buckets (spectrogram frames) for "
+                             "compile reuse; numerically exact")
     parser.add_argument(
         "--unknown_clean_signal",
         type=lambda x: str(x).lower() in ("true", "1", "yes"), default=False)
@@ -54,7 +57,7 @@ def main() -> None:
     outputs = args.outputs or os.path.join(exp_dir, "outputs")
 
     variables = load_denoiser_variables(cfg, model_dir, args.ckpt, args.pth)
-    predictor = DenoiserPredictor(cfg, variables)
+    predictor = DenoiserPredictor(cfg, variables, buckets=args.buckets or None)
     out = evaluate_denoiser(cfg, predictor, args.pred_data, outputs,
                             snr=args.snr,
                             unknown_clean_signal=args.unknown_clean_signal,

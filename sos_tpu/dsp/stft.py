@@ -26,6 +26,7 @@ of the reference's `(2, 256, T)` tensors (m1 dataset.py:288-289).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -171,16 +172,26 @@ def istft(
     n_fft: int = N_FFT,
     hop_length: int = HOP_LENGTH,
     win_length: int = WIN_LENGTH,
+    valid_t: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Inverse of :func:`stft`: `(..., F, T, 2)` -> `(..., (T-1)*hop)` samples.
 
     Matches `librosa.istft(..., hop_length, win_length)` with center=True:
     windowed inverse frames are overlap-added, normalized by the Hann
     window-square envelope, and n_fft//2 samples are trimmed per side.
+
+    `valid_t` (traced scalar): exact length-bucketed mode — frames >=
+    valid_t are dropped and the normalization envelope is built from the
+    valid frames only, so samples below (valid_t-1)*hop match an unpadded
+    istft exactly (the caller slices to that length).
     """
     bins = n_fft // 2 + 1
     spec = jnp.swapaxes(spec.astype(jnp.float32), -3, -2)  # (..., T, F, 2)
     num_frames = spec.shape[-3]
+    frame_mask = None
+    if valid_t is not None:
+        frame_mask = (jnp.arange(num_frames) < valid_t).astype(jnp.float32)
+        spec = spec * frame_mask[:, None, None]
     z = jnp.concatenate([spec[..., 0], spec[..., 1]], axis=-1)  # (..., T, 2*bins)
     mat = jnp.asarray(_synthesis_matrix(n_fft, win_length))
     frames = jnp.matmul(z, mat, precision=_HIGHEST)  # (..., T, n_fft)
@@ -188,7 +199,10 @@ def istft(
 
     # Window-square envelope (constant for a given T; folded by XLA).
     wsq = jnp.asarray(padded_window(n_fft, win_length).astype(np.float32) ** 2)
-    env = overlap_add(jnp.tile(wsq, (num_frames, 1)), hop_length)
+    tiled = jnp.tile(wsq, (num_frames, 1))
+    if frame_mask is not None:
+        tiled = tiled * frame_mask[:, None]
+    env = overlap_add(tiled, hop_length)
     tiny = jnp.asarray(np.finfo(np.float32).tiny)
     y = jnp.where(env > tiny, y / jnp.where(env > tiny, env, 1.0), y)
 

@@ -3,8 +3,14 @@
 Equivalent of m2 predict.py:255-526 but fused: where the reference
 bounces host<->device (numpy STFT -> GPU net -> numpy icRM/iSTFT,
 SURVEY.md §3.5), here waveform -> STFT -> JointDenoiser -> cRM inverse ->
-iSTFT is ONE jitted program per length bucket; only WAV decode and the
-bitstream -> sample-mask prep stay on host.
+iSTFT is ONE jitted program; only WAV decode and the bitstream ->
+sample-mask prep stay on host.
+
+Variable lengths: `buckets=None` compiles per length (simplest). With
+`buckets` (spectrogram-frame counts), one program per bucket serves all
+shorter utterances *numerically exactly*: the model runs its valid-aware
+path (dynamic-boundary reflection pads, per-conv tail re-zeroing, masked
+BiLSTM) and the iSTFT normalizes with a masked window envelope.
 """
 
 from __future__ import annotations
@@ -52,15 +58,32 @@ class DenoiserPredictor:
 
         return run
 
-    def _bucket_samples(self, num_samples: int) -> int:
-        if self.buckets is None:
-            return num_samples
-        hop = self.cfg.stft.hop_length
-        t = 1 + num_samples // hop
+    @functools.lru_cache(maxsize=32)
+    def _compiled_bucketed(self, bucket_t: int):
+        model = self.model
+        scfg = self.cfg.stft
+
+        @jax.jit
+        def run(variables, mixed_buf, gated_buf, valid_t):
+            mixed_stft = stft(mixed_buf, scfg.n_fft, scfg.hop_length,
+                              scfg.win_length, center=False)
+            gated_stft = stft(gated_buf, scfg.n_fft, scfg.hop_length,
+                              scfg.win_length, center=False)
+            noise_pred, crm = model.apply(variables, mixed_stft, gated_stft,
+                                          train=False, valid_t=valid_t)
+            out_stft = apply_compressed_crm(mixed_stft, crm)
+            kw = dict(n_fft=scfg.n_fft, hop_length=scfg.hop_length,
+                      win_length=scfg.win_length, valid_t=valid_t)
+            return (istft(out_stft, **kw), istft(noise_pred, **kw),
+                    istft(gated_stft, **kw))
+
+        return run
+
+    def _bucket_t(self, valid_t: int) -> int:
         for b in self.buckets:
-            if t <= b:
-                return (b - 1) * hop
-        return num_samples
+            if valid_t <= b:
+                return b
+        return valid_t
 
     def denoise_waveform(
         self, mixed: np.ndarray, bits: str, framerate: float = 30.0,
@@ -69,23 +92,39 @@ class DenoiserPredictor:
 
         Returns waveforms: denoised, predicted full noise, gated noise
         observation — all iSTFT-length ((T-1)*hop), like the reference's
-        outputs (m2 predict.py:422-426).
+        outputs (m2 predict.py:422-426). With `buckets`, one compiled
+        program per bucket serves all shorter utterances, numerically
+        exactly (valid-aware model + masked-envelope iSTFT).
         """
         sr = self.cfg.data.sample_rate
+        hop = self.cfg.stft.hop_length
+        n_fft = self.cfg.stft.n_fft
         ratio = float(sr) / framerate
         mask = bitstream_to_sample_mask_np(
             np.asarray([0 if c == "0" else 1 for c in bits], np.float32),
             ratio, len(mixed), self.cfg.data.despeckle_min_run)
-        padded = self._bucket_samples(len(mixed))
-        mbuf = np.zeros(padded, np.float32)
-        mbuf[: len(mixed)] = mixed
-        kbuf = np.zeros(padded, np.float32)
-        kbuf[: len(mask)] = mask
-        run = self._compiled(padded)
-        den, noi, gat = run(self.variables, jnp.asarray(mbuf)[None],
-                            jnp.asarray(kbuf)[None])
-        out_len = (1 + len(mixed) // self.cfg.stft.hop_length - 1) \
-            * self.cfg.stft.hop_length
+        out_len = (1 + len(mixed) // hop - 1) * hop
+        mixed = mixed.astype(np.float32)
+
+        if self.buckets is None:
+            run = self._compiled(len(mixed))
+            den, noi, gat = run(self.variables, jnp.asarray(mixed)[None],
+                                jnp.asarray(mask)[None])
+        else:
+            valid_t = 1 + len(mixed) // hop
+            bucket_t = self._bucket_t(valid_t)
+            need = (bucket_t - 1) * hop + n_fft
+            pad = n_fft // 2
+
+            def buf(sig):
+                reflected = np.pad(sig, pad, mode="reflect")
+                out = np.zeros(need, np.float32)
+                out[: len(reflected)] = reflected[:need]
+                return jnp.asarray(out)[None]
+
+            run = self._compiled_bucketed(bucket_t)
+            den, noi, gat = run(self.variables, buf(mixed),
+                                buf(mixed * mask), jnp.int32(valid_t))
         return {
             "denoised": np.asarray(den[0])[:out_len],
             "predicted_noise": np.asarray(noi[0])[:out_len],

@@ -28,7 +28,11 @@ from flax import linen as nn
 from sos_tpu.config import DenoiserModelConfig
 from sos_tpu.models.layers import ConvBlock, DownConvBlock, TorchLinear, UpConvBlock
 from sos_tpu.ops.lstm import BiLSTM
-from sos_tpu.ops.resize import nearest_resize_2d
+from sos_tpu.ops.resize import (
+    dynamic_nearest_time,
+    nearest_resize_1d,
+    nearest_resize_2d,
+)
 
 
 class InpaintNet(nn.Module):
@@ -40,7 +44,12 @@ class InpaintNet(nn.Module):
 
     @nn.compact
     def __call__(self, gated_noise: jnp.ndarray, mixed: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False, valid_t=None) -> jnp.ndarray:
+        """With `valid_t` (traced scalar), runs the exact length-bucketed
+        variant: every block re-zeroes its padded time tail and injects
+        the end-boundary reflection at the dynamic valid boundary (see
+        layers.DownConvBlock), so outputs on the valid region match the
+        unpadded program exactly."""
         dtype = jnp.dtype(self.compute_dtype)
         gated_noise = gated_noise.astype(dtype)
         mixed = mixed.astype(dtype)
@@ -49,38 +58,56 @@ class InpaintNet(nn.Module):
         dc = lambda f, k, s, d=1, **kw: down_cls(
             features=f, kernel_size=k, stride=s, dilation=d, train=train, **kw)
 
+        def call(block, x, v):
+            if v is None:
+                return block(x), None
+            return block(x, valid_t=v)
+
+        v0 = valid_t
         # Encoder A: silence-gated noise observation.
-        down1 = dc(ch1, 5, 1, name="a_in")(gated_noise)
-        down2 = dc(ch2, 5, 1, name="a_d2")(dc(ch2, 5, 2, name="a_d1")(down1))
+        down1, v = call(dc(ch1, 5, 1, name="a_in"), gated_noise, v0)
+        x, v2 = call(dc(ch2, 5, 2, name="a_d1"), down1, v)
+        down2, v2 = call(dc(ch2, 5, 1, name="a_d2"), x, v2)
         # Encoder B: mixed signal.
-        down3 = dc(ch1, 5, 1, name="b_in")(mixed)
-        down4 = dc(ch2, 5, 1, name="b_d2")(dc(ch2, 5, 2, name="b_d1")(down3))
+        down3, v3b = call(dc(ch1, 5, 1, name="b_in"), mixed, v0)
+        x, v4 = call(dc(ch2, 5, 2, name="b_d1"), down3, v3b)
+        down4, v4 = call(dc(ch2, 5, 1, name="b_d2"), x, v4)
 
         x = jnp.concatenate([down2, down4], axis=-1)
-        x = dc(ch3, 3, 2, name="mid0")(x)
-        x = dc(ch3, 3, 1, name="mid1")(x)
-        x = dc(ch3, 3, 1, 2, name="mid_dil2")(x)
-        x = dc(ch3, 3, 1, 4, name="mid_dil4")(x)
-        x = dc(ch3, 3, 1, 8, name="mid_dil8")(x)
-        x = dc(ch3, 3, 1, 16, name="mid_dil16")(x)
-        x = dc(ch3, 3, 1, name="mid2")(x)
-        x = dc(ch3, 3, 1, name="mid3")(x)
-        x = UpConvBlock(features=ch2, kernel_size=3, stride=2,
-                        train=train, name="mid_up")(x)
+        x, vm = call(dc(ch3, 3, 2, name="mid0"), x, v4)
+        x, vm = call(dc(ch3, 3, 1, name="mid1"), x, vm)
+        x, vm = call(dc(ch3, 3, 1, 2, name="mid_dil2"), x, vm)
+        x, vm = call(dc(ch3, 3, 1, 4, name="mid_dil4"), x, vm)
+        x, vm = call(dc(ch3, 3, 1, 8, name="mid_dil8"), x, vm)
+        x, vm = call(dc(ch3, 3, 1, 16, name="mid_dil16"), x, vm)
+        x, vm = call(dc(ch3, 3, 1, name="mid2"), x, vm)
+        x, vm = call(dc(ch3, 3, 1, name="mid3"), x, vm)
+        x, vm = call(UpConvBlock(features=ch2, kernel_size=3, stride=2,
+                                 train=train, name="mid_up"), x, vm)
 
-        if x.shape[1:3] != down4.shape[1:3]:
-            x = nearest_resize_2d(x, down4.shape[1:3], h_axis=1, w_axis=2)
+        if valid_t is None:
+            if x.shape[1:3] != down4.shape[1:3]:
+                x = nearest_resize_2d(x, down4.shape[1:3], h_axis=1, w_axis=2)
+        else:
+            # the exact program always resizes here (freq widths mismatch
+            # statically); time resizes valid->valid via dynamic nearest
+            x = nearest_resize_1d(x, down4.shape[1], axis=1)
+            x = dynamic_nearest_time(x, vm, v4, down4.shape[2])
         x = jnp.concatenate([x, down4], axis=-1)
-        x = dc(ch2, 3, 1, name="up1_conv")(x)
-        x = UpConvBlock(features=ch1, kernel_size=3, stride=2,
-                        train=train, name="up1_up")(x)
+        x, vu = call(dc(ch2, 3, 1, name="up1_conv"), x, v4)
+        x, vu = call(UpConvBlock(features=ch1, kernel_size=3, stride=2,
+                                 train=train, name="up1_up"), x, vu)
 
-        if x.shape[1:3] != down3.shape[1:3]:
-            x = nearest_resize_2d(x, down3.shape[1:3], h_axis=1, w_axis=2)
+        if valid_t is None:
+            if x.shape[1:3] != down3.shape[1:3]:
+                x = nearest_resize_2d(x, down3.shape[1:3], h_axis=1, w_axis=2)
+        else:
+            x = nearest_resize_1d(x, down3.shape[1], axis=1)
+            x = dynamic_nearest_time(x, vu, v3b, down3.shape[2])
         x = jnp.concatenate([x, down3], axis=-1)
-        x = dc(ch1, 3, 1, name="up2_conv")(x)
-        x = down_cls(features=2, kernel_size=3, stride=1, norm=None,
-                     act=None, train=train, name="out")(x)
+        x, vf = call(dc(ch1, 3, 1, name="up2_conv"), x, v3b)
+        x, vf = call(down_cls(features=2, kernel_size=3, stride=1, norm=None,
+                              act=None, train=train, name="out"), x, vf)
         # (B, F, T, 2): predicted full-noise spectrogram (float32 out)
         return x.astype(jnp.float32)
 
@@ -92,13 +119,20 @@ class ContextAggNet(nn.Module):
     compute_dtype: str = "float32"
     remat: bool = False
 
-    def _encoder(self, x, nf, outf, prefix, train):
+    def _encoder(self, x, nf, outf, prefix, train, valid_t=None):
         cfg = self.cfg
         block_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
         x = x.astype(jnp.dtype(self.compute_dtype))
+        tmask = None
+        if valid_t is not None:
+            tmask = (jnp.arange(x.shape[2]) < valid_t).astype(x.dtype)[
+                None, None, :, None]
+            x = x * tmask
         for i, (ks, dil) in enumerate(zip(cfg.kernel_sizes, cfg.dilations)):
             x = block_cls(features=nf, kernel_size=ks, dilation=dil,
                           train=train, name=f"{prefix}{i}")(x)
+            if tmask is not None:
+                x = x * tmask  # keep SAME padding == unpadded program
         x = block_cls(features=outf, kernel_size=(1, 1), dilation=(1, 1),
                       train=train, name=f"{prefix}proj")(x)
         # channel-major flatten: (B, F, T, C) -> (B, T, C*F)
@@ -109,13 +143,15 @@ class ContextAggNet(nn.Module):
 
     @nn.compact
     def __call__(self, mixed: jnp.ndarray, noise_pred: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False, valid_t=None) -> jnp.ndarray:
         cfg = self.cfg
-        f_x = self._encoder(mixed, cfg.nf_mixed, cfg.outf_mixed, "enc_x", train)
+        f_x = self._encoder(mixed, cfg.nf_mixed, cfg.outf_mixed, "enc_x",
+                            train, valid_t)
         f_n = self._encoder(noise_pred, cfg.nf_noise, cfg.outf_noise,
-                            "enc_n", train)
+                            "enc_n", train, valid_t)
         h = jnp.concatenate([f_x, f_n], axis=-1)  # (B, T, 12*F/4... = 3072)
-        h = BiLSTM(hidden=cfg.lstm_hidden, name="lstm")(h)  # (B, T, 400)
+        h = BiLSTM(hidden=cfg.lstm_hidden, name="lstm")(
+            h, valid_len=valid_t)  # (B, T, 400)
         h = nn.relu(TorchLinear(cfg.fc_hidden, name="fc0")(h))
         h = nn.relu(TorchLinear(cfg.fc_hidden, name="fc1")(h))
         h = nn.sigmoid(TorchLinear(cfg.freq_bins * 2, name="fc2")(h))
@@ -141,8 +177,13 @@ class JointDenoiser(nn.Module):
                                      remat=self.remat)
 
     def __call__(self, mixed: jnp.ndarray, gated_noise: jnp.ndarray,
-                 train: bool = False):
-        """Returns (noise_pred, compressed_crm), both (B, F, T, 2)."""
-        noise_pred = self.inpaint(gated_noise, mixed, train=train)
-        mask = self.context(mixed, noise_pred, train=train)
+                 train: bool = False, valid_t=None):
+        """Returns (noise_pred, compressed_crm), both (B, F, T, 2).
+
+        `valid_t` (traced scalar) enables exact length-bucketed inference;
+        outputs beyond valid_t are garbage and must be masked by callers.
+        """
+        noise_pred = self.inpaint(gated_noise, mixed, train=train,
+                                  valid_t=valid_t)
+        mask = self.context(mixed, noise_pred, train=train, valid_t=valid_t)
         return noise_pred, mask

@@ -131,8 +131,37 @@ class ConvBlock(nn.Module):
         return apply_activation(x, self.act, self, "act")
 
 
+def zero_time_tail(x: jnp.ndarray, valid_t, axis: int = 2) -> jnp.ndarray:
+    """Zero entries at time index >= valid_t (traced scalar)."""
+    mask = (jnp.arange(x.shape[axis]) < valid_t)
+    shape = [1] * x.ndim
+    shape[axis] = x.shape[axis]
+    return x * mask.reshape(shape).astype(x.dtype)
+
+
+def reflect_time_tail(x: jnp.ndarray, valid_t, pad: int,
+                      offset: int = 0) -> jnp.ndarray:
+    """Write reflected columns at the *dynamic* valid boundary.
+
+    Emulates an unpadded program's end-of-signal ReflectionPad: columns
+    [offset+valid_t, offset+valid_t+pad) become x[offset+valid_t-2-j].
+    Caller guarantees the static width fits (offset+valid_t+pad <= T).
+    """
+    src = offset + valid_t - 2 - jnp.arange(pad)
+    vals = jnp.take(x, jnp.clip(src, 0, x.shape[2] - 1), axis=2)
+    start = (jnp.int32(0), jnp.int32(0),
+             jnp.asarray(offset + valid_t, jnp.int32), jnp.int32(0))
+    return jax.lax.dynamic_update_slice(x, vals, start)
+
+
 class DownConvBlock(nn.Module):
-    """ReflectionPad + Conv2d(no pad, stride s) + BN + PReLU (m2 networks.py:97-117)."""
+    """ReflectionPad + Conv2d(no pad, stride s) + BN + PReLU (m2 networks.py:97-117).
+
+    With `valid_t` (traced scalar), runs the exact length-bucketed variant:
+    the time tail beyond valid_t is zeroed, the end-boundary reflection is
+    injected at the dynamic boundary, and the output is re-zeroed beyond
+    the propagated valid width. Returns (y, valid_out) in that mode.
+    """
 
     features: int
     kernel_size: int
@@ -143,11 +172,22 @@ class DownConvBlock(nn.Module):
     train: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_t=None):
         k, d = self.kernel_size, self.dilation
         pad = (k - 1) // 2 * d
         if pad:
-            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+            if valid_t is None:
+                x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                            mode="reflect")
+            else:
+                x = zero_time_tail(x, valid_t)
+                # freq: full static reflect; time: left reflect is exact
+                # (start boundary is real), right side zero-padded then the
+                # true reflection injected at the dynamic boundary.
+                x = jnp.pad(x, ((0, 0), (pad, pad), (pad, 0), (0, 0)),
+                            mode="reflect")
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                x = reflect_time_tail(x, valid_t, pad, offset=pad)
         x = nn.Conv(
             features=self.features,
             kernel_size=(k, k),
@@ -163,7 +203,12 @@ class DownConvBlock(nn.Module):
         )(x)
         if self.norm == "bn":
             x = TorchBatchNorm(use_running_average=not self.train)(x)
-        return apply_activation(x, self.act, self, "act")
+        x = apply_activation(x, self.act, self, "act")
+        if valid_t is None:
+            return x
+        keff = d * (k - 1) + 1
+        valid_out = (valid_t + 2 * pad - keff) // self.stride + 1
+        return zero_time_tail(x, valid_out), valid_out
 
 
 class UpConvBlock(nn.Module):
@@ -183,8 +228,12 @@ class UpConvBlock(nn.Module):
     train: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_t=None):
         k, s = self.kernel_size, self.stride
+        if valid_t is not None:
+            # zeroed tail contributes nothing to the transposed conv, so
+            # outputs below the exact width are untouched by padding
+            x = zero_time_tail(x, valid_t)
         p = (k - 1) // 2 * self.dilation
         in_ch = x.shape[-1]
         # torch ConvTranspose2d weight is (in, out, kH, kW); stored here as
@@ -214,7 +263,11 @@ class UpConvBlock(nn.Module):
             y = y + bias.astype(y.dtype)
         if self.norm == "bn":
             y = TorchBatchNorm(use_running_average=not self.train)(y)
-        return apply_activation(y, self.act, self, "act")
+        y = apply_activation(y, self.act, self, "act")
+        if valid_t is None:
+            return y
+        valid_out = (valid_t - 1) * s - 2 * p + k
+        return zero_time_tail(y, valid_out), valid_out
 
 
 class TorchLinear(nn.Module):

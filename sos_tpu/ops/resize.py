@@ -41,3 +41,21 @@ def nearest_resize_2d(x: jnp.ndarray, out_hw, h_axis: int, w_axis: int) -> jnp.n
 
 
 linear_resize_2d = nearest_resize_2d  # deprecated alias
+
+
+def dynamic_nearest_time(x: jnp.ndarray, v_src, v_dst,
+                         out_t_static: int) -> jnp.ndarray:
+    """Nearest time-resize of the *valid* region with traced sizes.
+
+    Maps output positions [0, v_dst) onto input [0, v_src) with the torch
+    floor rule in exact integer arithmetic; output beyond v_dst is zeroed.
+    Static output width is `out_t_static` (the skip tensor's padded width).
+    Time axis is 2 (NHWC with F as H).
+    """
+    j = jnp.arange(out_t_static, dtype=jnp.int32)
+    idx = (j * jnp.asarray(v_src, jnp.int32)) // jnp.maximum(
+        jnp.asarray(v_dst, jnp.int32), 1)
+    idx = jnp.clip(idx, 0, x.shape[2] - 1)
+    y = jnp.take(x, idx, axis=2)
+    mask = (j < v_dst).astype(y.dtype)[None, None, :, None]
+    return y * mask

@@ -141,3 +141,21 @@ def test_detector_bucketed_exact(tiny, rng):
         np.testing.assert_array_equal(bits_b, bits_e)
     # all three lengths share the same two compiled programs
     assert bucketed._compiled_bucketed.cache_info().currsize <= 2
+
+
+def test_denoiser_bucketed_exact(tiny, rng):
+    """Bucketed full-utterance denoising == per-length compilation exactly
+    (valid-aware reflection pads, masked BiLSTM, masked-envelope iSTFT)."""
+    cfg, _, den_vars = tiny
+    exact = DenoiserPredictor(cfg, den_vars, buckets=None)
+    bucketed = DenoiserPredictor(cfg, den_vars, buckets=(256,))
+    for length in (28000, 22000, 31000):
+        wav = rng.standard_normal(length).astype(np.float32) * 0.2
+        bits = "".join(rng.choice(list("01"), int(length / 14000 * 30)))
+        ref = exact.denoise_waveform(wav, bits)
+        got = bucketed.denoise_waveform(wav, bits)
+        for key in ("denoised", "predicted_noise", "gated_noise"):
+            assert got[key].shape == ref[key].shape, (key, length)
+            np.testing.assert_allclose(got[key], ref[key], atol=3e-5,
+                                       err_msg=f"{key}@{length}")
+    assert bucketed._compiled_bucketed.cache_info().currsize == 1
