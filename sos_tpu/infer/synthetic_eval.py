@@ -1,0 +1,82 @@
+"""Batched synthetic-mixture quality evaluation (BASELINE config[1]).
+
+Mixes clean test clips with corpus noise at a fixed SNR on device,
+denoises them through the batched fused program (ground-truth or
+detector-predicted silent intervals), and computes the speech-quality
+suite per clip — a single-command quality snapshot per SNR without the
+reference's two-stage JSON/WAV file dance. Used for training-time quality
+tracking and per-SNR reports.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sos_tpu.config import ExperimentConfig
+from sos_tpu.data.pipeline import DenoiserBatcher, device_mix_and_stft_denoiser
+from sos_tpu.dsp import audio_io
+from sos_tpu.dsp.crm import apply_compressed_crm
+from sos_tpu.dsp.stft import istft
+from sos_tpu.eval.speech import evaluate_metrics
+from sos_tpu.models import JointDenoiser
+
+METRIC_KEYS = ("l1", "stoi", "csig", "cbak", "covl", "pesq", "ssnr_regular",
+               "ssnr_shift", "ssnr_clip", "ssnr_exsi", "overall_snr")
+
+
+def evaluate_synthetic(
+    cfg: ExperimentConfig,
+    denoiser_vars: Dict,
+    batcher: DenoiserBatcher,
+    metrics_sr: int = 16000,
+    max_batches: Optional[int] = None,
+    compute_dtype: str = "float32",
+) -> OrderedDict:
+    """Run batched mix->denoise->metrics; returns avg_* aggregates.
+
+    The batcher must be built with a pinned snr_idx (cfg.data.snr_idx) for
+    a per-SNR report; denoising uses the ground-truth bitstreams (the
+    reference's stage-2 eval setting when intervals are known).
+    """
+    model = JointDenoiser(cfg.denoiser, compute_dtype=compute_dtype)
+    scfg = cfg.stft
+
+    @jax.jit
+    def run(variables, clean, noise, snr, bits):
+        d = device_mix_and_stft_denoiser(clean, noise, snr, bits,
+                                         cfg.data, cfg.stft)
+        _, crm = model.apply(variables, d["mixed"], d["noise"], train=False)
+        out_stft = apply_compressed_crm(d["mixed"], crm)
+        denoised = istft(out_stft, scfg.n_fft, scfg.hop_length,
+                         scfg.win_length)
+        clean_sig = istft(d["clean"], scfg.n_fft, scfg.hop_length,
+                          scfg.win_length)
+        return denoised, clean_sig
+
+    per_clip = []
+    sr = cfg.data.sample_rate
+    for b_idx, batch in enumerate(batcher):
+        if max_batches is not None and b_idx >= max_batches:
+            break
+        denoised, clean_sig = run(
+            denoiser_vars, jnp.asarray(batch["clean"]),
+            jnp.asarray(batch["noise"]), jnp.asarray(batch["snr"]),
+            jnp.asarray(batch["bits"]))
+        denoised = np.asarray(denoised)
+        clean_sig = np.asarray(clean_sig)
+        for i in range(denoised.shape[0]):
+            out_16k = audio_io.resample(denoised[i], sr, metrics_sr)
+            ref_16k = audio_io.resample(clean_sig[i], sr, metrics_sr)
+            per_clip.append(evaluate_metrics(out_16k, ref_16k, sr=metrics_sr))
+
+    agg = OrderedDict()
+    agg["num_clips"] = len(per_clip)
+    for key in METRIC_KEYS:
+        vals = [m[key] for m in per_clip]
+        agg[f"avg_{key}"] = float(np.nanmean(vals)) if per_clip else float("nan")
+    return agg

@@ -133,3 +133,25 @@ def test_cli_one_shot_denoise(cli_env, monkeypatch):
     assert os.path.exists(out_wav)
     y, sr = audio_io.load(out_wav)
     assert sr == 14000 and len(y) > 0 and np.isfinite(y).all()
+
+
+def test_cli_eval_synthetic(cli_env, monkeypatch, capsys):
+    """Batched per-SNR quality evaluation runs on the trained tiny model."""
+    root = cli_env["root"]
+    out_root = str(root / "model_output")
+    out_json = str(root / "synth_eval.json")
+    from sos_tpu.cli import eval_synthetic
+
+    _run(eval_synthetic.main,
+         ["--dataset_json", str(root / "ds.json"),
+          "--noise_root", cli_env["noise_dir"],
+          "--output_root", out_root, "--config_json", cli_env["cfg"],
+          "--name", "tiny", "--ckpt", "latest", "--snr_idx", "3",
+          "--max_batches", "1", "--out", out_json], monkeypatch)
+    with open(out_json) as fp:
+        report = json.load(fp)
+    assert "snr_0" in report
+    agg = report["snr_0"]
+    assert agg["num_clips"] >= 1
+    assert np.isfinite(agg["avg_stoi"]) or np.isnan(agg["avg_stoi"])
+    assert np.isfinite(agg["avg_ssnr_regular"])
