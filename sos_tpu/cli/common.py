@@ -56,13 +56,13 @@ def config_from_args(args, stage: str) -> ExperimentConfig:
     else:
         base = ExperimentConfig(name=args.name, output_root=args.output_root)
     train_kw = {}
-    if args.epochs is not None:
+    if getattr(args, "epochs", None) is not None:
         train_kw["nr_epochs"] = args.epochs
-    if args.batch_size is not None:
+    if getattr(args, "batch_size", None) is not None:
         train_kw["batch_size"] = args.batch_size
     elif stage == "denoiser" and not getattr(args, "config_json", None):
         train_kw["batch_size"] = 40  # m2 common.py:52
-    if args.lr is not None:
+    if getattr(args, "lr", None) is not None:
         train_kw["lr"] = args.lr
     if train_kw:
         import dataclasses

@@ -155,3 +155,41 @@ def test_cli_eval_synthetic(cli_env, monkeypatch, capsys):
     assert agg["num_clips"] >= 1
     assert np.isfinite(agg["avg_stoi"]) or np.isnan(agg["avg_stoi"])
     assert np.isfinite(agg["avg_ssnr_regular"])
+
+
+def test_cli_import_checkpoint(cli_env, monkeypatch, tmp_path):
+    """A torch .pth converts into a usable orbax checkpoint."""
+    import torch
+
+    from sos_tpu.cli import import_checkpoint, predict_detector
+    from tests.torch_oracles import DetectorOracle
+    from tests.test_model_parity import SPECS
+
+    # oracle matching the tiny config's detector architecture
+    oracle = DetectorOracle(
+        (((1, 7), (1, 1)), ((5, 5), (2, 2))), freq_bins=256, nf=4, outf=2,
+        hidden=4, fc_hidden=4)
+    pth = str(tmp_path / "ckpt_epoch7.pth")
+    torch.save({"model_state_dict": oracle.state_dict()}, pth)
+
+    out_root = str(tmp_path / "imported_output")
+    _run(import_checkpoint.main,
+         ["--stage", "detector", "--pth", pth, "--name", "imp",
+          "--output_root", out_root, "--config_json", cli_env["cfg"]],
+         monkeypatch)
+    model_dir = os.path.join(out_root, "imp_detector", "model")
+    assert os.path.isdir(os.path.join(model_dir, "ckpt_epoch7"))
+    assert os.path.isdir(os.path.join(model_dir, "latest"))
+
+    # the imported checkpoint serves predict_detector directly
+    from sos_tpu.data.preprocess import build_dataset_json
+
+    ds_json = str(tmp_path / "ds.json")
+    build_dataset_json(cli_env["audio_dir"], ds_json)
+    pred_out = str(tmp_path / "pred")
+    _run(predict_detector.main,
+         ["--dataset_json", ds_json, "--noise_root", cli_env["noise_dir"],
+          "--output_root", out_root, "--config_json", cli_env["cfg"],
+          "--name", "imp", "--ckpt", "7", "--unknown_clean_signal", "true",
+          "--outputs", pred_out], monkeypatch)
+    assert os.path.exists(os.path.join(pred_out, "eval_results.json"))
