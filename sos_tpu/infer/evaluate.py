@@ -223,8 +223,12 @@ def create_data_from_prediction(
             [ds_path, item["path"]])
         item["num_frames"] = len(item["bit_stream"])
         item["recovered_prediction"] = item["predicted_bit_stream"]
-        labels += [int(c) for c in item["bit_stream"]]
-        preds += [int(c) for c in item["recovered_prediction"]]
+        # '2'-padded streams make bit_stream longer than the predicted
+        # (truncated) span; the reference zips them silently
+        # (tools.py show_metrics) — pair up to the common length.
+        pair = min(len(item["bit_stream"]), len(item["recovered_prediction"]))
+        labels += [int(c) for c in item["bit_stream"][:pair]]
+        preds += [int(c) for c in item["recovered_prediction"][:pair]]
 
         if not save_results:
             continue
