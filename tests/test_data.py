@@ -170,3 +170,42 @@ def test_wav_decode_stereo_24bit(tmp_path, rng):
     y, got_sr = audio_io.load(path)
     assert got_sr == sr and len(y) == n
     np.testing.assert_allclose(y, (left + right) / 2, atol=2e-7)
+
+
+def test_combine_datasets(tmp_path):
+    from sos_tpu.data.index import combine_datasets
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    a = _make_fixture(tmp_path / "a", n_files=2)
+    b = _make_fixture(tmp_path / "b", n_files=1, seed=9)
+    pa, pb = str(tmp_path / "a.json"), str(tmp_path / "b.json")
+    a.save(pa)
+    b.save(pb)
+    merged = combine_datasets([pa, pb])
+    assert merged.num_files == 3
+    assert {f.path for f in merged} == (
+        {f.path for f in a} | {f.path for f in b})
+
+
+def test_media_tools_gating():
+    import shutil
+
+    from sos_tpu.data import media
+
+    if shutil.which("ffprobe") is None:
+        with pytest.raises(RuntimeError, match="not found"):
+            media.get_duration("/nonexistent.mp4")
+        assert media.media_tools_available() in (False,)
+    else:
+        assert media.media_tools_available()
+
+
+def test_snr_suffix_formats():
+    from sos_tpu.infer.evaluate import snr_suffix
+
+    assert snr_suffix(None) == ""
+    assert snr_suffix(0) == "_snr0"
+    assert snr_suffix(-7) == "_snr-7"
+    assert snr_suffix(2.5) == "_snr2_5"
+    assert snr_suffix(10.0) == "_snr10"
