@@ -48,6 +48,10 @@ def main() -> None:
         "--unknown_clean_signal",
         type=lambda x: str(x).lower() in ("true", "1", "yes"), default=False)
     parser.add_argument("--outputs", type=str, default=None)
+    parser.add_argument("--save_individual", action="store_true",
+                        help="save wav + bitstream/confidence overlay plots "
+                             "for mismatched or silent items "
+                             "(m1 predict.py:150-183)")
     args = parser.parse_args()
     cfg = config_from_args(args, stage="detector")
     exp_dir, _, model_dir = experiment_dirs(cfg, "detector")
@@ -67,7 +71,8 @@ def main() -> None:
         if clean_audio else None
     out = evaluate_detector(cfg, predictor, args.dataset_json, outputs,
                             noise_bank=noise, snr_idx=args.snr_idx,
-                            clean_audio=clean_audio)
+                            clean_audio=clean_audio,
+                            save_individual_results=args.save_individual)
     print(f"wrote {out}")
 
 

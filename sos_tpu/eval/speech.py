@@ -219,18 +219,30 @@ def llr(clean: np.ndarray, deg: np.ndarray, srate: int) -> np.ndarray:
 
 
 def pesq_score(clean: np.ndarray, deg: np.ndarray, srate: int) -> float:
+    """P.862 narrowband score (reference metrics.py:341-343 via pypesq).
+
+    Dispatch order: conformant `pypesq`/`pesq` C extensions when importable,
+    else the native numpy P.862 implementation (sos_tpu/eval/pesq.py) —
+    never NaN for valid inputs.
+    """
     try:  # pypesq exposes pesq(ref, deg, fs)
         from pypesq import pesq as _pesq  # type: ignore
 
         return float(_pesq(clean, deg, srate))
     except ImportError:
         pass
-    try:  # pesq package exposes pesq(fs, ref, deg, mode)
+    try:  # pesq package exposes pesq(fs, ref, deg, mode); the reference
+        # pipeline is narrowband throughout (14 kHz audio, metrics @16 kHz)
         from pesq import pesq as _pesq2  # type: ignore
 
-        mode = "wb" if srate >= 16000 else "nb"
-        return float(_pesq2(srate, clean, deg, mode))
+        return float(_pesq2(srate, clean, deg, "nb"))
     except ImportError:
+        pass
+    from sos_tpu.eval.pesq import pesq_nb
+
+    try:
+        return pesq_nb(clean, deg, srate)
+    except ValueError:  # too short / not mono
         return float("nan")
 
 

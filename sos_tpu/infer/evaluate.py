@@ -135,6 +135,20 @@ def evaluate_detector(
             wav_rel = os.path.join("audio" + suffix, f"{data_id}.wav")
             audio_io.write_wav(os.path.join(output_dir, wav_rel), mixed, sr)
             extra["audio"] = wav_rel
+            # Overlay plots for mismatched/silent items (m1 predict.py:150-183
+            # saves waveform+bitstream pngs alongside the audio).
+            from sos_tpu.utils.visualization import (
+                draw_bitstream_overlay, draw_floatstream_overlay, save_image)
+            gt_png = os.path.join("audio" + suffix, f"{data_id}_gt.png")
+            pred_png = os.path.join("audio" + suffix, f"{data_id}_pred.png")
+            save_image(os.path.join(output_dir, gt_png), draw_bitstream_overlay(
+                mixed, sr, "".join(str(int(b)) for b in labels), w.framerate))
+            save_image(os.path.join(output_dir, pred_png),
+                     draw_floatstream_overlay(
+                         mixed, sr, np.asarray(conf, np.float32)[None, :],
+                         labels=["confidence"], framerate=w.framerate))
+            extra["plot_gt"] = gt_png
+            extra["plot_pred"] = pred_png
         records.append(OrderedDict([
             ("id", data_id),
             ("path", f.path),

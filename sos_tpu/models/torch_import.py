@@ -86,21 +86,6 @@ def _convert_linear(state, tkey, params, fpath):
     _set(params, fpath + ("bias",), _np(state[f"{tkey}.bias"]))
 
 
-def _reindex_sequential(state: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Rename reference Sequential indices to structural names.
-
-    The reference wraps each conv in `block = Sequential(Conv, BN, Act)`
-    (m1 networks.py:33-48) so keys look like `encoder_audio.3.block.0.weight`.
-    This flattens `.block.0/.block.1` to `.conv/.bn` (position-dependent:
-    DownConvBlock has ReflectionPad at 0, so conv is at 1), producing a
-    uniform naming for `_convert_conv`.
-    """
-    out: Dict[str, np.ndarray] = {}
-    for key, value in state.items():
-        out[key] = value
-    return out
-
-
 def _pad_axis(a: np.ndarray, axis: int, new: int, fill: float = 0.0) -> np.ndarray:
     """Zero-pad one axis to `new` entries (channel widening)."""
     if a.shape[axis] >= new:

@@ -16,6 +16,8 @@ recurrences are precision-sensitive (SURVEY.md §7 risks).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

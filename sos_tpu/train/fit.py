@@ -17,6 +17,7 @@ the jitted step (mix+STFT+model+grads+update, one XLA program) runs SPMD.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Callable, Dict, Optional
 
@@ -65,6 +66,11 @@ def fit(
         num_devices = len(jax.devices())
         while cfg.train.batch_size % num_devices:
             num_devices -= 1
+        if num_devices < len(jax.devices()):
+            logging.getLogger(__name__).warning(
+                "batch_size=%d does not divide %d devices; training on %d "
+                "device(s). Pick a divisible batch to use the full mesh.",
+                cfg.train.batch_size, len(jax.devices()), num_devices)
     mesh = make_mesh(num_devices=num_devices)
     mgr = CheckpointManager(model_dir)
     train_tb, val_tb = _writers(log_dir)
