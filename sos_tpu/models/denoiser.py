@@ -82,8 +82,11 @@ class InpaintNet(nn.Module):
         x, vm = call(dc(ch3, 3, 1, 16, name="mid_dil16"), x, vm)
         x, vm = call(dc(ch3, 3, 1, name="mid2"), x, vm)
         x, vm = call(dc(ch3, 3, 1, name="mid3"), x, vm)
+        # output_padding=1 replicates the reference's positional-arg quirk
+        # (m2 networks.py:130 passes dilation into output_padding).
         x, vm = call(UpConvBlock(features=ch2, kernel_size=3, stride=2,
-                                 train=train, name="mid_up"), x, vm)
+                                 output_padding=1, train=train,
+                                 name="mid_up"), x, vm)
 
         if valid_t is None:
             if x.shape[1:3] != down4.shape[1:3]:
@@ -96,7 +99,8 @@ class InpaintNet(nn.Module):
         x = jnp.concatenate([x, down4], axis=-1)
         x, vu = call(dc(ch2, 3, 1, name="up1_conv"), x, v4)
         x, vu = call(UpConvBlock(features=ch1, kernel_size=3, stride=2,
-                                 train=train, name="up1_up"), x, vu)
+                                 output_padding=1, train=train,
+                                 name="up1_up"), x, vu)
 
         if valid_t is None:
             if x.shape[1:3] != down3.shape[1:3]:

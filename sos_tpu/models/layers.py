@@ -216,13 +216,21 @@ class UpConvBlock(nn.Module):
 
     Implemented as an input-dilated convolution with a spatially flipped
     kernel — the exact definition of torch's ConvTranspose2d — so output
-    sizes follow `(in-1)*s - 2p + k` (no output_padding).
+    sizes follow `(in-1)*s - 2p + k + output_padding`.
+
+    `output_padding`: the reference constructs its up-convs as
+    `nn.ConvTranspose2d(in, out, k, stride, pad, dilation, bias=...)`
+    (m2 networks.py:130) — but ConvTranspose2d's 6th positional parameter
+    is *output_padding*, not dilation, so every reference up-conv actually
+    runs with output_padding=1 (outputs sized 2*in, not 2*in-1). Faithful
+    checkpoint parity requires replicating that quirk.
     """
 
     features: int
     kernel_size: int
     stride: int = 2
     dilation: int = 1
+    output_padding: int = 0
     norm: Optional[str] = "bn"
     act: Optional[str] = "prelu"
     train: bool = False
@@ -248,11 +256,12 @@ class UpConvBlock(nn.Module):
         use_bias = self.norm is None
         flipped = kernel[::-1, ::-1].astype(x.dtype)
         pad_amt = k - 1 - p
+        op = self.output_padding
         y = jax.lax.conv_general_dilated(
             x,
             flipped,
             window_strides=(1, 1),
-            padding=((pad_amt, pad_amt), (pad_amt, pad_amt)),
+            padding=((pad_amt, pad_amt + op), (pad_amt, pad_amt + op)),
             lhs_dilation=(s, s),
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -266,7 +275,7 @@ class UpConvBlock(nn.Module):
         y = apply_activation(y, self.act, self, "act")
         if valid_t is None:
             return y
-        valid_out = (valid_t - 1) * s - 2 * p + k
+        valid_out = (valid_t - 1) * s - 2 * p + k + op
         return zero_time_tail(y, valid_out), valid_out
 
 

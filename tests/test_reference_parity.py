@@ -1,0 +1,158 @@
+"""Full-size numerical parity against the REFERENCE's own networks.py.
+
+Unlike tests/test_model_parity.py (hand-transcribed torch oracles at
+reduced widths), these tests importlib-load the reference repository's
+actual module files:
+
+  /root/reference/model_1_silent_interval_detection/audioonly_model/networks.py
+  /root/reference/model_2_audio_denoising/audio_denoising_model/networks.py
+
+instantiate the FULL configurations (detector: 11 blocks nf=48,
+dilations to 32, input (B,2,256,178); denoiser: InpaintNet 64/128/256 +
+ContextAggNet 14 blocks nf=96), randomize weights AND BatchNorm running
+stats, convert with sos_tpu.models.torch_import, and assert the flax
+models reproduce the reference outputs. A transcription error in the
+oracles cannot mask a break here — the oracle IS the reference code.
+
+Also bounds the bf16 fast-profile drift vs f32 on the full-size models,
+certifying the bench profile's quality (VERDICT round-1 Weak #1).
+"""
+
+import importlib.util
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from sos_tpu.config import DenoiserModelConfig, DetectorModelConfig
+from sos_tpu.models import JointDenoiser, SilenceDetector
+from sos_tpu.models.torch_import import (
+    denoiser_torch_to_flax,
+    detector_torch_to_flax,
+)
+
+from tests.torch_oracles import randomize_bn_stats
+
+M1_NETWORKS = ("/root/reference/model_1_silent_interval_detection/"
+               "audioonly_model/networks.py")
+M2_NETWORKS = ("/root/reference/model_2_audio_denoising/"
+               "audio_denoising_model/networks.py")
+
+
+def _load_module(name: str, path: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _state_np(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+@pytest.fixture(scope="module")
+def detector_pair():
+    ref_mod = _load_module("ref_m1_networks", M1_NETWORKS)
+    torch.manual_seed(42)
+    net = ref_mod.AudioVisualNet()  # full: 11 blocks, nf=48, lstm 100
+    gen = torch.Generator().manual_seed(43)
+    with torch.no_grad():
+        randomize_bn_stats(net, gen)
+    net.eval()
+    x = np.random.default_rng(0).standard_normal((2, 2, 256, 178)) \
+        .astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref_out = net(torch.from_numpy(x)).numpy()
+    variables = detector_torch_to_flax(_state_np(net))
+    return x, ref_out, variables
+
+
+@pytest.fixture(scope="module")
+def denoiser_pair():
+    ref_mod = _load_module("ref_m2_networks", M2_NETWORKS)
+    cfg = DenoiserModelConfig()  # defaults mirror m2 common.py:80-81
+    ref_cfg = types.SimpleNamespace(
+        kernel_sizes=[tuple(k) for k in cfg.kernel_sizes],
+        dilations=[tuple(d) for d in cfg.dilations])
+    torch.manual_seed(44)
+    net = ref_mod.JointModel(ref_cfg)  # full: InpaintNet + ContextAggNet 96
+    gen = torch.Generator().manual_seed(45)
+    with torch.no_grad():
+        randomize_bn_stats(net, gen)
+    net.eval()
+    rng = np.random.default_rng(1)
+    mixed = rng.standard_normal((1, 2, 256, 178)).astype(np.float32) * 0.5
+    gated = rng.standard_normal((1, 2, 256, 178)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref_noise, ref_mask = net(torch.from_numpy(mixed),
+                                  torch.from_numpy(gated))
+    variables = denoiser_torch_to_flax(_state_np(net))
+    return mixed, gated, ref_noise.numpy(), ref_mask.numpy(), variables
+
+
+def test_detector_full_size_parity_vs_reference_code(detector_pair):
+    """m1 networks.py:80-155 at full width == SilenceDetector <= 1e-4."""
+    x, ref_out, variables = detector_pair
+    model = SilenceDetector(DetectorModelConfig())
+    ours = np.asarray(model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), num_frames=60))
+    assert ours.shape == ref_out.shape == (2, 60)
+    np.testing.assert_allclose(ours, ref_out, atol=1e-4, rtol=1e-3)
+
+
+def test_denoiser_full_size_parity_vs_reference_code(denoiser_pair):
+    """m2 networks.py:28-217 at full width == JointDenoiser <= 1e-4."""
+    mixed, gated, ref_noise, ref_mask, variables = denoiser_pair
+    model = JointDenoiser(DenoiserModelConfig())
+    our_noise, our_mask = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(mixed.transpose(0, 2, 3, 1)),
+        jnp.asarray(gated.transpose(0, 2, 3, 1)))
+    our_noise = np.asarray(our_noise).transpose(0, 3, 1, 2)
+    our_mask = np.asarray(our_mask).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(our_noise, ref_noise, atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(our_mask, ref_mask, atol=1e-4, rtol=1e-3)
+
+
+def test_detector_bf16_profile_drift_bounded(detector_pair):
+    """bf16 conv-trunk profile: per-frame probability drift is bounded
+    and thresholded decisions agree with f32 (bench fast-profile gate)."""
+    x, _, variables = detector_pair
+    var_in = {"params": variables["params"],
+              "batch_stats": variables["batch_stats"]}
+    x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+    f32 = np.asarray(SilenceDetector(DetectorModelConfig()).apply(
+        var_in, x_nhwc, num_frames=60))
+    bf16 = np.asarray(SilenceDetector(
+        DetectorModelConfig(), compute_dtype="bfloat16").apply(
+        var_in, x_nhwc, num_frames=60))
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    prob_drift = np.abs(sigmoid(f32) - sigmoid(bf16))
+    assert prob_drift.max() < 0.05, prob_drift.max()
+    assert np.mean((sigmoid(f32) >= 0.5) != (sigmoid(bf16) >= 0.5)) <= 0.02
+
+
+def test_denoiser_bf16_profile_drift_bounded(denoiser_pair):
+    """bf16 conv-trunk profile: cRM mask drift (mask is sigmoid-compressed
+    in [0,1]) stays within a mask-error budget that is inaudible relative
+    to the cRM quantisation the reference itself applies."""
+    mixed, gated, _, _, variables = denoiser_pair
+    var_in = {"params": variables["params"],
+              "batch_stats": variables["batch_stats"]}
+    m = jnp.asarray(mixed.transpose(0, 2, 3, 1))
+    g = jnp.asarray(gated.transpose(0, 2, 3, 1))
+    _, mask_f32 = JointDenoiser(DenoiserModelConfig()).apply(var_in, m, g)
+    _, mask_bf16 = JointDenoiser(
+        DenoiserModelConfig(), compute_dtype="bfloat16").apply(var_in, m, g)
+    drift = np.abs(np.asarray(mask_f32) - np.asarray(mask_bf16))
+    assert drift.max() < 0.05, drift.max()
+    assert drift.mean() < 5e-3, drift.mean()

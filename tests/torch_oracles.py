@@ -57,8 +57,10 @@ class _UpBlock(tnn.Module):
     def __init__(self, cin, cout, k, s):
         super().__init__()
         pad = (k - 1) // 2
+        # output_padding=1: the reference passes `dilation` positionally
+        # into ConvTranspose2d's output_padding slot (m2 networks.py:130).
         self.block = tnn.Sequential(
-            tnn.ConvTranspose2d(cin, cout, k, s, pad, bias=False),
+            tnn.ConvTranspose2d(cin, cout, k, s, pad, 1, bias=False),
             tnn.BatchNorm2d(cout),
             tnn.PReLU(),
         )
