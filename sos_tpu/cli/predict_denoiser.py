@@ -48,6 +48,9 @@ def main() -> None:
     parser.add_argument(
         "--save_results",
         type=lambda x: str(x).lower() in ("true", "1", "yes"), default=True)
+    parser.add_argument("--eval_batch_size", type=int, default=None,
+                        help="batch same-bucket utterances per device "
+                             "dispatch (needs --buckets)")
     parser.add_argument("--outputs", type=str, default=None)
     args = parser.parse_args()
     if not args.unknown_clean_signal and args.snr is None:
@@ -61,7 +64,8 @@ def main() -> None:
     out = evaluate_denoiser(cfg, predictor, args.pred_data, outputs,
                             snr=args.snr,
                             unknown_clean_signal=args.unknown_clean_signal,
-                            save_individual_results=args.save_results)
+                            save_individual_results=args.save_results,
+                            batch_size=args.eval_batch_size)
     print(f"wrote {out}")
 
 

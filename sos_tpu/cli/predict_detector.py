@@ -48,6 +48,9 @@ def main() -> None:
         "--unknown_clean_signal",
         type=lambda x: str(x).lower() in ("true", "1", "yes"), default=False)
     parser.add_argument("--outputs", type=str, default=None)
+    parser.add_argument("--eval_batch_size", type=int, default=None,
+                        help="batch same-bucket utterances per device "
+                             "dispatch (needs --buckets)")
     parser.add_argument("--save_individual", action="store_true",
                         help="save wav + bitstream/confidence overlay plots "
                              "for mismatched or silent items "
@@ -72,7 +75,8 @@ def main() -> None:
     out = evaluate_detector(cfg, predictor, args.dataset_json, outputs,
                             noise_bank=noise, snr_idx=args.snr_idx,
                             clean_audio=clean_audio,
-                            save_individual_results=args.save_individual)
+                            save_individual_results=args.save_individual,
+                            batch_size=args.eval_batch_size)
     print(f"wrote {out}")
 
 

@@ -27,6 +27,8 @@ from sos_tpu.dsp import audio_io
 
 
 def find_noise_files(roots: Sequence[str]) -> List[str]:
+    if isinstance(roots, (str, os.PathLike)):  # a bare path, not a list —
+        roots = [roots]  # iterating the string would rglob "/" etc.
     out: List[str] = []
     for root in roots:
         if root and os.path.isdir(root):

@@ -113,3 +113,87 @@ class DetectorPredictor:
             conf = conf[:num_frames]
         bits = (conf >= self.threshold).astype(np.int64)
         return bits, conf
+
+    # -- batched bucketed mode ------------------------------------------------
+
+    @functools.lru_cache(maxsize=32)
+    def _compiled_bucketed_vmapped(self, bucket_t: int, frames_bucket: int,
+                                   batch: int):
+        """One program per (bucket, frame-bucket, batch tile): vmap of the
+        single-item bucketed program with per-item valid lengths."""
+        model = self.model
+        scfg = self.cfg.stft
+
+        def one(variables, padded_signal, valid_t, valid_frames):
+            spec = stft(padded_signal[None], scfg.n_fft, scfg.hop_length,
+                        scfg.win_length, center=False)
+            logits = model.apply(variables, spec, num_frames=frames_bucket,
+                                 train=False, valid_t=valid_t,
+                                 valid_frames=valid_frames)
+            return jax.nn.sigmoid(logits)[0]
+
+        return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+
+    def predict_batch(
+        self,
+        waveforms: Sequence[np.ndarray],
+        num_frames: Sequence[int],
+        batch_size: int = 16,
+    ) -> list:
+        """Batched full-utterance detection (m1 predict.py runs batch-1;
+        here same-bucket utterances share one device dispatch).
+
+        Items are grouped by (length bucket, frame bucket), padded into
+        (batch_size, need) tiles (short tiles repeat the last row), and
+        dispatched through a vmapped bucketed-exact program — per-item
+        outputs equal `predict_waveform`'s. Requires `buckets`; without
+        them this falls back to the per-item exact path.
+
+        Returns a list of (bits, confidences) in input order.
+        """
+        if self.buckets is None:
+            return [self.predict_waveform(w, n)
+                    for w, n in zip(waveforms, num_frames)]
+        hop = self.cfg.stft.hop_length
+        n_fft = self.cfg.stft.n_fft
+        pad = n_fft // 2
+
+        groups: Dict[Tuple[int, int], list] = {}
+        for i, (w, nf) in enumerate(zip(waveforms, num_frames)):
+            valid_t = 1 + len(w) // hop
+            bucket_t = self._bucket_t(valid_t)
+            frames_bucket = -(-nf // FRAMES_GRANULARITY) * FRAMES_GRANULARITY
+            groups.setdefault((bucket_t, frames_bucket), []).append(i)
+
+        results: list = [None] * len(waveforms)
+        pending = []  # dispatch every tile async, fetch at the end
+        for (bucket_t, frames_bucket), idxs in groups.items():
+            need = (bucket_t - 1) * hop + n_fft
+            run = self._compiled_bucketed_vmapped(bucket_t, frames_bucket,
+                                                  batch_size)
+            for s in range(0, len(idxs), batch_size):
+                tile = idxs[s: s + batch_size]
+                buf = np.zeros((batch_size, need), np.float32)
+                vts = np.zeros(batch_size, np.int32)
+                vfs = np.zeros(batch_size, np.int32)
+                for row, i in enumerate(tile):
+                    reflected = np.pad(
+                        np.asarray(waveforms[i], np.float32), pad,
+                        mode="reflect")
+                    buf[row, : min(len(reflected), need)] = reflected[:need]
+                    vts[row] = 1 + len(waveforms[i]) // hop
+                    vfs[row] = num_frames[i]
+                for row in range(len(tile), batch_size):  # repeat last row
+                    buf[row] = buf[len(tile) - 1]
+                    vts[row] = vts[len(tile) - 1]
+                    vfs[row] = vfs[len(tile) - 1]
+                outs = run(self.variables, jnp.asarray(buf),
+                           jnp.asarray(vts), jnp.asarray(vfs))
+                pending.append((tile, outs))
+        for tile, outs in pending:
+            conf_all = np.asarray(outs)
+            for row, i in enumerate(tile):
+                conf = conf_all[row, : num_frames[i]]
+                bits = (conf >= self.threshold).astype(np.int64)
+                results[i] = (bits, conf)
+        return results

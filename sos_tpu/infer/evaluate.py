@@ -72,12 +72,18 @@ def evaluate_detector(
     clean_audio: bool = True,
     save_noise_info: bool = True,
     save_individual_results: bool = False,
+    batch_size: Optional[int] = None,
 ) -> str:
     """Run full-utterance detection over a dataset JSON; write eval_results.
 
     `save_individual_results` saves the mixed input wav for "interesting"
     items — any with mismatched or silent frames (m1 predict.py:150-176
     keeps audio/plots for label != pred or silent cases).
+
+    `batch_size` (with a bucketed predictor) dispatches same-bucket
+    utterances through one vmapped program per tile instead of the
+    reference's batch-1 loop (m1 predict.py:71) — same bits, confidences
+    within float rounding.
     """
     os.makedirs(output_dir, exist_ok=True)
     index = DatasetIndex.load(dataset_json)
@@ -107,8 +113,10 @@ def evaluate_detector(
                 json.dump({"snrs": list(cfg.data.snrs), "files": noise_files},
                           fp, indent=4)
 
-    records: List[OrderedDict] = []
-    for data_id, w in enumerate(windows):
+    # Phase 1: assemble all mixed inputs on the host.
+    mixed_all: List[np.ndarray] = []
+    labels_all_items: List[np.ndarray] = []
+    for w in windows:
         f = index[w.file_index]
         snd, _ = audio_io.load(f.audio_path, sr=sr)
         labels = np.asarray(w.bits, dtype=np.int64)
@@ -125,8 +133,25 @@ def evaluate_detector(
                                         norm=cfg.data.mix_norm)
         else:
             mixed = snd
-        bits, conf = predictor.predict_waveform(
-            mixed.astype(np.float32), num_frames=len(labels))
+        mixed_all.append(mixed.astype(np.float32))
+        labels_all_items.append(labels)
+
+    # Phase 2: detect (batched over same-bucket utterances when enabled).
+    if batch_size is not None and predictor.buckets is not None:
+        predictions = predictor.predict_batch(
+            mixed_all, [len(lb) for lb in labels_all_items],
+            batch_size=batch_size)
+    else:
+        predictions = [predictor.predict_waveform(m, num_frames=len(lb))
+                       for m, lb in zip(mixed_all, labels_all_items)]
+
+    # Phase 3: per-item records.
+    records: List[OrderedDict] = []
+    for data_id, w in enumerate(windows):
+        f = index[w.file_index]
+        mixed = mixed_all[data_id]
+        labels = labels_all_items[data_id]
+        bits, conf = predictions[data_id]
         extra: Dict[str, str] = {}
         if save_individual_results and (
                 not np.array_equal(bits, labels) or 0 in labels or 0 in bits):
@@ -325,6 +350,26 @@ def create_data_from_prediction(
 # ---------------------------------------------------------------------------
 
 
+def _load_many(paths: List[str], sr: int) -> List[np.ndarray]:
+    """Decode many wavs; threaded C++ engine when built AND no resample is
+    needed (the native resampler differs from the python one by float
+    rounding — decode-only keeps results identical to the serial path)."""
+    try:
+        from sos_tpu.runtime.engine import NativeAudioEngine, native_available
+
+        if paths and native_available():
+            eng = NativeAudioEngine(num_threads=8)
+            infos = [eng.info(p) for p in paths]
+            if all(s == sr for _, s in infos):
+                max_n = max(n for n, _ in infos)
+                buf, lengths = eng.load_batch(paths, sr, max_n)
+                return [buf[i, : lengths[i]].copy()
+                        for i in range(len(paths))]
+    except Exception:  # pragma: no cover - fall back to python decode
+        pass
+    return [audio_io.load(p, sr=sr)[0] for p in paths]
+
+
 def evaluate_denoiser(
     cfg: ExperimentConfig,
     predictor: DenoiserPredictor,
@@ -335,20 +380,46 @@ def evaluate_denoiser(
     save_individual_results: bool = True,
     save_visualizations: bool = False,
     metrics_sr: int = 16000,
+    batch_size: Optional[int] = None,
 ) -> str:
+    """`batch_size` (with a bucketed predictor) decodes all mixed wavs up
+    front (threaded C++ engine when built) and dispatches same-bucket
+    utterances through one vmapped program per tile, instead of the
+    reference's one-utterance-at-a-time loop (m2 predict.py:405-526)."""
     with open(pred_data_json) as fp:
         payload = json.load(fp)
     base_dir = os.path.dirname(os.path.abspath(pred_data_json))
     os.makedirs(output_dir, exist_ok=True)
     sr = cfg.data.sample_rate
 
+    files = payload["files"]
+    mixed_paths = [os.path.join(base_dir, d["mixed_audio"]) for d in files]
+    mixed_all = _load_many(mixed_paths, sr)
+    use_batched = batch_size is not None and predictor.buckets is not None
+    if use_batched:
+        framerates = {d["framerate"] for d in files}
+        outs_all = []
+        for fr in sorted(framerates):  # denoise_batch takes one framerate
+            idxs = [i for i, d in enumerate(files) if d["framerate"] == fr]
+            keys = ("denoised", "predicted_noise", "gated_noise") \
+                if save_individual_results else ("denoised",)
+            outs = predictor.denoise_batch(
+                [mixed_all[i] for i in idxs],
+                [files[i]["recovered_prediction"] for i in idxs],
+                framerate=fr, batch_size=batch_size, keys=keys)
+            outs_all.extend(zip(idxs, outs))
+        outs_by_item = dict(outs_all)
+
     stat: List[OrderedDict] = []
-    for data in payload["files"]:
-        mixed_path = os.path.join(base_dir, data["mixed_audio"])
-        mixed, _ = audio_io.load(mixed_path, sr=sr)
+    for item_idx, data in enumerate(files):
+        mixed_path = mixed_paths[item_idx]
+        mixed = mixed_all[item_idx]
         bits = data["recovered_prediction"]
-        outs = predictor.denoise_waveform(mixed, bits,
-                                          framerate=data["framerate"])
+        if use_batched:
+            outs = outs_by_item[item_idx]
+        else:
+            outs = predictor.denoise_waveform(mixed, bits,
+                                              framerate=data["framerate"])
         denoised = outs["denoised"]
 
         info = OrderedDict([
