@@ -45,7 +45,26 @@ def add_common_train_args(parser: argparse.ArgumentParser,
                         help="data-parallel device count (default: all)")
 
 
+def enable_compile_cache(path: str = None) -> None:
+    """Persist compiled XLA programs across CLI invocations (first
+    full-size compile over a remote chip is 30-120 s; cached reloads are
+    sub-second). Called by config_from_args so every CLI benefits."""
+    import jax
+
+    cache = path or os.environ.get(
+        "SOS_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "sos_tpu_xla"))
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        # cache even small/fast-compiling programs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def config_from_args(args, stage: str) -> ExperimentConfig:
+    enable_compile_cache()
     if getattr(args, "config_json", None):
         import dataclasses
 

@@ -159,6 +159,15 @@ class _BatcherBase:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def shard(self, host_id: int, num_hosts: int) -> "_BatcherBase":
+        """Per-host window sharding for multi-host SPMD: host k keeps
+        windows [k::num_hosts] (applied before the per-epoch shuffle so
+        every host shuffles its own disjoint subset). Returns self."""
+        if not 0 <= host_id < num_hosts:
+            raise ValueError(f"host_id {host_id} not in [0, {num_hosts})")
+        self.windows = self.windows[host_id::num_hosts]
+        return self
+
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.windows))
         if self.shuffle:

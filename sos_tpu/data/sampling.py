@@ -37,12 +37,23 @@ def find_noise_files(roots: Sequence[str]) -> List[str]:
 
 
 class NoiseBank:
-    def __init__(self, paths: Sequence[str], sample_rate: int):
+    def __init__(self, paths: Sequence[str], sample_rate: int,
+                 num_threads: int = 8):
+        """Preloads every noise track, decoding in a thread pool — the
+        reference preloads with joblib multiprocessing (m1 dataset.py:125).
+        Order (and therefore every seeded draw) matches the serial load."""
         self.sample_rate = sample_rate
         self.paths = list(paths)
-        self.tracks: List[np.ndarray] = [
-            audio_io.load(p, sr=sample_rate)[0] for p in self.paths
-        ]
+        if num_threads > 1 and len(self.paths) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=num_threads) as pool:
+                self.tracks: List[np.ndarray] = list(
+                    pool.map(lambda p: audio_io.load(p, sr=sample_rate)[0],
+                             self.paths))
+        else:
+            self.tracks = [audio_io.load(p, sr=sample_rate)[0]
+                           for p in self.paths]
 
     @staticmethod
     def from_roots(roots: Sequence[str], sample_rate: int) -> "NoiseBank":

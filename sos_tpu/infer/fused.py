@@ -77,6 +77,56 @@ class FusedDenoisePipeline:
             mixed.shape, self.clip_samples)
         return self._run(self.detector_vars, self.denoiser_vars, mixed)
 
+    # -- split entries (used by StreamingDenoiser's boundary-consistent
+    #    mode: detect all chunks first, reconcile bits across overlaps,
+    #    then denoise with the reconciled bits) -----------------------------
+
+    def _build_split(self):
+        cfg = self.cfg
+        scfg = cfg.stft
+        ratio = cfg.data.sample_rate / cfg.data.frame_rate
+        clip_samples = self.clip_samples
+        num_frames = self.num_frames
+        threshold = self.threshold
+        detector, denoiser = self.detector, self.denoiser
+
+        @jax.jit
+        def detect(det_vars, mixed):
+            mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
+                              scfg.win_length)
+            logits = detector.apply(det_vars, mixed_stft,
+                                    num_frames=num_frames, train=False)
+            return (jax.nn.sigmoid(logits) >= threshold).astype(jnp.float32)
+
+        @jax.jit
+        def denoise_bits(den_vars, mixed, bits):
+            mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
+                              scfg.win_length)
+            mask = bitstream_to_sample_mask(bits, ratio, clip_samples,
+                                            cfg.data.despeckle_min_run)
+            gated_stft = stft(mixed * mask, scfg.n_fft, scfg.hop_length,
+                              scfg.win_length)
+            _, crm = denoiser.apply(den_vars, mixed_stft, gated_stft,
+                                    train=False)
+            clean_stft = apply_compressed_crm(mixed_stft, crm)
+            return istft(clean_stft, scfg.n_fft, scfg.hop_length,
+                         scfg.win_length)
+
+        return detect, denoise_bits
+
+    def detect_bits(self, mixed: jnp.ndarray) -> jnp.ndarray:
+        """(B, clip_samples) -> thresholded bits (B, num_frames)."""
+        if not hasattr(self, "_detect"):
+            self._detect, self._denoise_bits = self._build_split()
+        return self._detect(self.detector_vars, mixed)
+
+    def denoise_with_bits(self, mixed: jnp.ndarray,
+                          bits: jnp.ndarray) -> jnp.ndarray:
+        """Denoise with externally supplied (e.g. reconciled) bits."""
+        if not hasattr(self, "_denoise_bits"):
+            self._detect, self._denoise_bits = self._build_split()
+        return self._denoise_bits(self.denoiser_vars, mixed, bits)
+
     def shard(self, mesh, axis: str = "data") -> "FusedDenoisePipeline":
         """Serve batch-sharded over a device mesh (SPMD inference).
 

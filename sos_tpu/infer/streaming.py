@@ -7,6 +7,18 @@ serves any duration), batches them through the fused pipeline, and
 overlap-adds the results with triangular crossfades. Chunking also bounds
 the BiLSTM's sequential depth, keeping the scan short and the MXU busy
 across the chunk batch dimension.
+
+Boundary consistency (deviation from the whole-utterance reference,
+handled explicitly): with naive per-chunk detection, a silent interval
+straddling a chunk boundary can be classified differently by the two
+chunks that see it, gating different noise observations on the two sides
+of the crossfade. In the default `consistent_boundaries` mode the
+pipeline runs in two passes — detect ALL chunks first, then reconcile
+bits across overlaps with a most-interior-decision-wins rule (a frame in
+the leading half of chunk i+1's overlap takes chunk i's decision for the
+same absolute time, where chunk i saw it with full left context) — and
+only then denoises with the reconciled bits, so both sides of every
+crossfade gate the same silence decisions.
 """
 
 from __future__ import annotations
@@ -24,7 +36,8 @@ class StreamingDenoiser:
     def __init__(self, cfg: ExperimentConfig, detector_vars: Dict,
                  denoiser_vars: Dict, chunk_seconds: float = 2.0,
                  overlap_seconds: float = 0.5, batch_chunks: int = 16,
-                 threshold: float = 0.5, compute_dtype: str = "float32"):
+                 threshold: float = 0.5, compute_dtype: str = "float32",
+                 consistent_boundaries: bool = True):
         assert overlap_seconds < chunk_seconds
         self.cfg = cfg
         self.pipeline = FusedDenoisePipeline(
@@ -38,6 +51,7 @@ class StreamingDenoiser:
         self.overlap = int(overlap_seconds * sr)
         self.stride = self.valid - self.overlap
         self.batch_chunks = batch_chunks
+        self.consistent_boundaries = consistent_boundaries
 
     def _weights(self) -> np.ndarray:
         w = np.ones(self.valid, dtype=np.float32)
@@ -62,19 +76,10 @@ class StreamingDenoiser:
             seg = waveform[s:s + self.chunk]
             chunks[i, : len(seg)] = seg
 
-        outs = []
-        for b in range(0, len(starts), self.batch_chunks):
-            batch = chunks[b:b + self.batch_chunks]
-            real = len(batch)
-            if real < self.batch_chunks:
-                # pad to the fixed batch: ONE compiled program serves any
-                # duration (a ragged tail batch would compile a second one)
-                batch = np.concatenate(
-                    [batch, np.zeros((self.batch_chunks - real, self.chunk),
-                                     dtype=np.float32)])
-            out, _ = self.pipeline(jnp.asarray(batch))
-            outs.append(np.asarray(out)[:real])
-        denoised_chunks = np.concatenate(outs, axis=0)  # (C, valid)
+        if self.consistent_boundaries:
+            denoised_chunks = self._two_pass(chunks, starts)
+        else:
+            denoised_chunks = self._one_pass(chunks)
 
         total = starts[-1] + self.valid
         acc = np.zeros(total, dtype=np.float32)
@@ -86,3 +91,50 @@ class StreamingDenoiser:
         nz = wsum > 1e-8
         acc[nz] /= wsum[nz]
         return acc[:n]
+
+    # ------------------------------------------------------------------
+
+    def _batched(self, fn, arrays):
+        """Run `fn` over fixed-size chunk batches (tail padded: one program)."""
+        n = len(arrays[0])
+        outs = []
+        for b in range(0, n, self.batch_chunks):
+            tiles = [a[b:b + self.batch_chunks] for a in arrays]
+            real = len(tiles[0])
+            if real < self.batch_chunks:
+                tiles = [np.concatenate(
+                    [t, np.zeros((self.batch_chunks - real,) + t.shape[1:],
+                                 dtype=t.dtype)]) for t in tiles]
+            out = fn(*[jnp.asarray(t) for t in tiles])
+            outs.append(np.asarray(out)[:real])
+        return np.concatenate(outs, axis=0)
+
+    def _one_pass(self, chunks: np.ndarray) -> np.ndarray:
+        return self._batched(lambda m: self.pipeline(m)[0], [chunks])
+
+    def reconcile_bits(self, bits: np.ndarray, starts) -> np.ndarray:
+        """Most-interior-decision-wins bit reconciliation across overlaps.
+
+        For chunk i>0, every frame whose (chunk-local) center time falls in
+        the leading HALF of the overlap is replaced by chunk i-1's decision
+        for the same absolute time (nearest frame center) — chunk i-1 saw
+        those samples with full left context, chunk i with none.
+        """
+        sr = self.cfg.data.sample_rate
+        fps = self.cfg.data.frame_rate
+        bits = bits.copy()
+        num_frames = bits.shape[1]
+        centers = (np.arange(num_frames) + 0.5) / fps  # chunk-local seconds
+        half_ov = 0.5 * self.overlap / sr
+        for i in range(1, len(starts)):
+            delta = (starts[i] - starts[i - 1]) / sr  # chunk offset, seconds
+            lead = centers < half_ov
+            prev_idx = np.round((centers + delta) * fps - 0.5).astype(int)
+            ok = lead & (prev_idx >= 0) & (prev_idx < num_frames)
+            bits[i, np.nonzero(ok)[0]] = bits[i - 1, prev_idx[ok]]
+        return bits
+
+    def _two_pass(self, chunks: np.ndarray, starts) -> np.ndarray:
+        bits = self._batched(self.pipeline.detect_bits, [chunks])
+        bits = self.reconcile_bits(bits, starts)
+        return self._batched(self.pipeline.denoise_with_bits, [chunks, bits])

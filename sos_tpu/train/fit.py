@@ -25,6 +25,7 @@ import jax
 import numpy as np
 
 from sos_tpu.config import ExperimentConfig
+from sos_tpu.data.prefetch import prefetch
 from sos_tpu.parallel import make_mesh, shard_batch, replicated
 from sos_tpu.train.checkpoints import CheckpointManager
 from sos_tpu.train.state import TrainClock, TrainState
@@ -85,7 +86,11 @@ def fit(
         state = jax.device_put(state, replicated(mesh))
         for epoch in range(clock.epoch, cfg.train.nr_epochs):
             train_batcher.set_epoch(epoch)
-            for batch in train_batcher:
+            # Background prefetch: the next batch assembles on a host
+            # thread while the device runs the current step (the
+            # reference's 60-worker DataLoader, collapsed to what this
+            # pipeline actually needs — assembly is indexing + memcpy).
+            for batch in prefetch(train_batcher, depth=2):
                 if profile_dir and clock.step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
                 if profile_dir and clock.step == profile_steps[1]:

