@@ -5,6 +5,21 @@ inverse -> iSTFT -> waveform on batches of 2 s / 14 kHz clips (the
 reference's inference unit, m2 predict.py:405-526) and reports
 audio-seconds of denoised speech produced per wall-clock second per chip.
 
+Three profiles are measured and reported:
+  f32   — reference-exact numerics (NHWC fused pipeline);
+  bf16  — bf16 conv trunks, f32 LSTM/mask head (drift bounded by
+          tests/test_reference_parity.py: mask max drift < 0.05);
+  int8  — int8 conv trunks (per-channel weights, calibrated static
+          activation scales) + the packed (re,im) spectrum layout that
+          removes every 2-wide-trailing-dim tensor (drift bounded by
+          tests/test_quant.py: mask drift ~1e-4 scale, far inside the
+          bf16 bound).
+The headline value is the int8 profile. Layout note: the packed pipeline
+(dsp.stft.stft_packed) is also why the former Pallas STFT kernel was
+dropped — measured 12.3 ms vs 1.5 ms for the packed jnp formulation at
+batch 128 on v5e: the bottleneck was the (F, T, 2) layout (2 lanes of
+128), not framing.
+
 Baseline: the driver's north-star target of 500x real-time per chip
 (BASELINE.json); `vs_baseline` = value / 500.
 """
@@ -17,6 +32,15 @@ import time
 import numpy as np
 
 
+def _measure(bench_fn, args, audio_sec: float, iters: int) -> float:
+    float(bench_fn(*args))  # compile + warm
+    start = time.perf_counter()
+    checksum = float(bench_fn(*args))
+    elapsed = time.perf_counter() - start
+    assert np.isfinite(checksum)
+    return audio_sec * iters / elapsed
+
+
 def main() -> None:
     import os
 
@@ -27,67 +51,85 @@ def main() -> None:
     import jax.numpy as jnp
 
     from sos_tpu.config import ExperimentConfig, fast_denoiser_config
-    from sos_tpu.dsp.crm import apply_compressed_crm
-    from sos_tpu.dsp.stft import istft, stft
+    from sos_tpu.dsp.crm import apply_compressed_crm, crm_sigmoid_recover
+    from sos_tpu.dsp.stft import istft, istft_packed, stft, stft_packed
     from sos_tpu.models import JointDenoiser
+    from sos_tpu.models.quant import QuantizedDenoiser
 
-    # TPU-fast profile: bf16 conv trunks (f32 LSTM/mask head) + the noise
-    # encoder widened 48->64 channels (measured: 48-ch stacks run at
-    # ~26 TFLOP/s on v5e vs ~83 at 64 — 1.8x faster wall-clock; reference
-    # checkpoints import losslessly via zero-padding).
     cfg = ExperimentConfig(denoiser=fast_denoiser_config())
-    model = JointDenoiser(cfg.denoiser, compute_dtype="bfloat16")
     samples = cfg.data.clip_seconds * cfg.data.sample_rate
     t = 1 + samples // cfg.stft.hop_length
-    batch = 128  # throughput scales sublinearly; 128 > 500x real-time
+    batch = 128
+    iters = 4
 
     rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, cfg.denoiser.freq_bins, t, 2))
     # NB: eager init is pathologically slow over the remote TPU tunnel
     # (one RPC per param); jit makes it one program.
+    init_model = JointDenoiser(cfg.denoiser)
     variables = jax.jit(
-        lambda k: model.init(k, dummy, dummy, train=False))(rng)
-
-    def denoise(params, mixed, mask):
-        mixed_stft = stft(mixed)
-        gated_stft = stft(mixed * mask)
-        _, crm = model.apply(params, mixed_stft, gated_stft, train=False)
-        return istft(apply_compressed_crm(mixed_stft, crm))
-
-    # Timing methodology: the remote-TPU runtime's block_until_ready does
-    # not reliably wait for execution — only a host data fetch does. So
-    # all iterations run inside ONE program (lax.scan over distinct
-    # inputs) and the fetched scalar checksum forces completion; the
-    # single dispatch round-trip amortizes over `iters` batches.
-    iters = 4
-
-    @jax.jit
-    def bench_fn(params, stack, mask):
-        def body(carry, m):
-            out = denoise(params, m, mask)
-            return carry + out[:, :: 997].sum(), None
-
-        total, _ = jax.lax.scan(body, jnp.float32(0), stack)
-        return total
+        lambda k: init_model.init(k, dummy, dummy, train=False))(rng)
 
     k1, k2 = jax.random.split(rng)
     base = jax.random.normal(k1, (batch, samples), jnp.float32) * 0.1
     stack = jnp.stack([base + 1e-4 * i for i in range(iters)])
     mask = (jax.random.uniform(k2, (batch, samples)) > 0.5).astype(jnp.float32)
+    audio_sec = batch * (samples / cfg.data.sample_rate)
 
-    float(bench_fn(variables, stack, mask))  # warmup/compile
-    start = time.perf_counter()
-    checksum = float(bench_fn(variables, stack, mask))
-    elapsed = time.perf_counter() - start
-    assert np.isfinite(checksum)
+    # Timing methodology: the remote-TPU runtime's block_until_ready does
+    # not reliably wait for execution — only a host data fetch does. So
+    # all iterations run inside ONE program (lax.scan over distinct
+    # inputs) and the fetched scalar checksum forces completion.
+    def scan_bench(step):
+        @jax.jit
+        def bench_fn(stack, mask):
+            def body(carry, m):
+                out = step(m, mask)
+                return carry + out[:, ::997].sum(), None
 
-    audio_sec = iters * batch * (samples / cfg.data.sample_rate)
-    throughput = audio_sec / elapsed
+            total, _ = jax.lax.scan(body, jnp.float32(0), stack)
+            return total
+
+        return bench_fn
+
+    profiles = {}
+
+    # --- float profiles (NHWC fused pipeline) ---------------------------
+    for name, dtype in (("f32", "float32"), ("bf16", "bfloat16")):
+        model = JointDenoiser(cfg.denoiser, compute_dtype=dtype)
+
+        def step(mixed, mask, model=model):
+            mixed_stft = stft(mixed)
+            gated_stft = stft(mixed * mask)
+            _, crm = model.apply(variables, mixed_stft, gated_stft,
+                                 train=False)
+            return istft(apply_compressed_crm(mixed_stft, crm))
+
+        profiles[name] = round(
+            _measure(scan_bench(step), (stack, mask), audio_sec, iters), 2)
+
+    # --- int8 packed profile --------------------------------------------
+    quant = QuantizedDenoiser(cfg.denoiser, variables, inpaint_dtype="int8")
+    quant.calibrate([(jnp.asarray(np.asarray(stft(base[:8]))),
+                      jnp.asarray(np.asarray(stft(base[:8] * mask[:8]))))])
+
+    def step_int8(mixed, mask):
+        mr, mi = stft_packed(mixed)
+        gr, gi = stft_packed(mixed * mask)
+        cr, ci = quant.crm_packed(mr, mi, gr, gi)
+        rr, ri = crm_sigmoid_recover(cr), crm_sigmoid_recover(ci)
+        return istft_packed(rr * mr - ri * mi, rr * mi + ri * mr)
+
+    profiles["int8"] = round(
+        _measure(scan_bench(step_int8), (stack, mask), audio_sec, iters), 2)
+
+    headline = profiles["int8"]
     print(json.dumps({
         "metric": "denoise_throughput",
-        "value": round(throughput, 2),
+        "value": headline,
         "unit": "audio-sec/sec/chip",
-        "vs_baseline": round(throughput / 500.0, 4),
+        "vs_baseline": round(headline / 500.0, 4),
+        "profiles": profiles,
     }))
 
 

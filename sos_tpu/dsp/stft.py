@@ -26,7 +26,7 @@ of the reference's `(2, 256, T)` tensors (m1 dataset.py:288-289).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -206,6 +206,56 @@ def istft(
     tiny = jnp.asarray(np.finfo(np.float32).tiny)
     y = jnp.where(env > tiny, y / jnp.where(env > tiny, env, 1.0), y)
 
+    pad = n_fft // 2
+    return y[..., pad:-pad] if pad else y
+
+
+def stft_packed(
+    y: jnp.ndarray,
+    n_fft: int = N_FFT,
+    hop_length: int = HOP_LENGTH,
+    win_length: int = WIN_LENGTH,
+    center: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """STFT in the TPU-friendly packed layout: `(..., L)` -> (re, im),
+    each `(..., T, F)`.
+
+    Identical math to :func:`stft`; avoids materialising the `(F, T, 2)`
+    layout whose 2-wide trailing dim pads to 128 lanes (64x memory
+    inflation — measured 10 ms of an 11.8 ms batch-128 STFT on v5e). The
+    serving path (bench.py, QuantizedDenoiser) stays packed end to end.
+    """
+    bins = n_fft // 2 + 1
+    pad = n_fft // 2
+    y = y.astype(jnp.float32)
+    if center:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+    frames = frame_signal(y, n_fft, hop_length)
+    mat = jnp.asarray(_analysis_matrix(n_fft, win_length))
+    spec = jnp.matmul(frames, mat, precision=_HIGHEST)  # (..., T, 2*bins)
+    return spec[..., :bins], spec[..., bins:]
+
+
+def istft_packed(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    n_fft: int = N_FFT,
+    hop_length: int = HOP_LENGTH,
+    win_length: int = WIN_LENGTH,
+) -> jnp.ndarray:
+    """Inverse of :func:`stft_packed`: (re, im) `(..., T, F)` -> samples.
+
+    Same math as :func:`istft` without the layout unpack/transpose."""
+    num_frames = re.shape[-2]
+    z = jnp.concatenate([re.astype(jnp.float32),
+                         im.astype(jnp.float32)], axis=-1)
+    mat = jnp.asarray(_synthesis_matrix(n_fft, win_length))
+    frames = jnp.matmul(z, mat, precision=_HIGHEST)
+    y = overlap_add(frames, hop_length)
+    wsq = jnp.asarray(padded_window(n_fft, win_length).astype(np.float32) ** 2)
+    env = overlap_add(jnp.tile(wsq, (num_frames, 1)), hop_length)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny)
+    y = jnp.where(env > tiny, y / jnp.where(env > tiny, env, 1.0), y)
     pad = n_fft // 2
     return y[..., pad:-pad] if pad else y
 

@@ -1,0 +1,441 @@
+"""Int8 post-training quantization for the denoiser's conv trunks.
+
+The ContextAggNet encoders are ~75-80% of denoising inference time
+(m2 networks.py:61-80 — 14 dilated 5x5 conv blocks at 96/48 channels over
+a 256x178 spectrogram: ~370 GFLOP per 2 s clip). Measured on v5e, XLA's
+int8 conv path runs at ~280 TOPS vs ~137 TFLOP/s for bf16 — 2.04x — so
+the int8 profile quantizes exactly that trunk and nothing else:
+
+* BatchNorm folds into the conv (inference-only affine), giving per-block
+  (kernel, bias);
+* weights: symmetric per-OUTPUT-CHANNEL int8 (scale = max|w_c| / 127);
+* activations: symmetric per-TENSOR int8 with STATIC scales calibrated
+  offline (max|x| over calibration batches * margin / 127) — static
+  scales keep the requantize step a pure elementwise epilogue XLA fuses
+  into the conv, with no extra reduction pass over the 1-2 GB activation;
+* the accumulation is int32 on the MXU; dequant + bias + ReLU + requant
+  run fused;
+* everything downstream of the trunks (BiLSTM, FC mask head, InpaintNet,
+  STFT/iSTFT) stays float32/bf16 — the mask head feeds the cRM inversion
+  and is precision-sensitive.
+
+Quality is certified per-checkpoint by measurement, not assumption: see
+tests/test_quant.py (mask drift bound vs f32) and bench.py (reports f32 /
+bf16 / int8 profiles side by side).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sos_tpu.config import DenoiserModelConfig
+from sos_tpu.models.denoiser import InpaintNet
+from sos_tpu.ops.lstm import BiLSTM
+from sos_tpu.models.layers import TorchLinear
+
+_BN_EPS = 1e-5  # TorchBatchNorm (layers.py): torch defaults
+
+
+def fold_conv_bn(kernel: np.ndarray, scale: np.ndarray, bias: np.ndarray,
+                 mean: np.ndarray, var: np.ndarray,
+                 eps: float = _BN_EPS) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold inference BatchNorm into the preceding conv.
+
+    y = scale * (conv(x, w) - mean) / sqrt(var + eps) + bias
+      = conv(x, w * g) + (bias - mean * g),  g = scale / sqrt(var + eps)
+    """
+    g = np.asarray(scale) / np.sqrt(np.asarray(var) + eps)
+    return (np.asarray(kernel) * g[None, None, None, :],
+            np.asarray(bias) - np.asarray(mean) * g)
+
+
+def quantize_weight(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-output-channel int8: returns (w_q, scale[Cout])."""
+    amax = np.max(np.abs(kernel), axis=(0, 1, 2))
+    scale = np.maximum(amax, 1e-12) / 127.0
+    w_q = np.clip(np.round(kernel / scale[None, None, None, :]),
+                  -127, 127).astype(np.int8)
+    return w_q, scale.astype(np.float32)
+
+
+def _block_tree(params: Dict, stats: Dict, name: str):
+    p = params[name]
+    bn = p["TorchBatchNorm_0"]["BatchNorm_0"]
+    s = stats[name]["TorchBatchNorm_0"]["BatchNorm_0"]
+    return (np.asarray(p["Conv_0"]["kernel"]), np.asarray(bn["scale"]),
+            np.asarray(bn["bias"]), np.asarray(s["mean"]),
+            np.asarray(s["var"]))
+
+
+class QuantEncoderParams:
+    """Folded + int8-quantized parameters for one encoder stack."""
+
+    def __init__(self, params: Dict, stats: Dict, prefix: str,
+                 n_blocks: int):
+        self.blocks: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = []
+        names = [f"{prefix}{i}" for i in range(n_blocks)] + [f"{prefix}proj"]
+        for name in names:
+            w_f, b_f = fold_conv_bn(*_block_tree(params, stats, name))
+            w_q, w_s = quantize_weight(w_f)
+            self.blocks.append((jnp.asarray(w_q), jnp.asarray(w_s),
+                                jnp.asarray(b_f.astype(np.float32))))
+        # per-block input activation scales; filled by calibration
+        self.act_scales: List[float] = [1.0] * len(names)
+
+
+def _conv_same(x: jnp.ndarray, w: jnp.ndarray, dilation: Tuple[int, int],
+               ks: Tuple[int, int], acc_dtype,
+               lhs_spec: str = "NHWC") -> jnp.ndarray:
+    kf, kt = ks
+    df, dt = dilation
+    pad = ((kf - 1) // 2 * df, (kt - 1) // 2 * dt)
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1),
+        ((pad[0], pad[0]), (pad[1], pad[1])),
+        rhs_dilation=(df, dt),
+        dimension_numbers=(lhs_spec, "HWIO", "NHWC"),
+        preferred_element_type=acc_dtype)
+
+
+def _conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray,
+               dilation: Tuple[int, int], ks: Tuple[int, int]) -> jnp.ndarray:
+    return _conv_same(x_q, w_q, dilation, ks, jnp.int32)
+
+
+def _quantize_act(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+class QuantInpaintParams:
+    """Folded + quantized InpaintNet blocks, keyed by block name.
+
+    Block geometry mirrors models/denoiser.py InpaintNet (incl. the
+    reference's output_padding=1 ConvTranspose quirk and the nearest
+    interpolate fix-ups). The final `out` block stays float32 (tiny,
+    64->2; it produces the noise_pred output directly).
+    """
+
+    # (name, kind, kernel, stride, dilation) in forward order
+    SPEC = [
+        ("a_in", "down", 5, 1, 1), ("a_d1", "down", 5, 2, 1),
+        ("a_d2", "down", 5, 1, 1),
+        ("b_in", "down", 5, 1, 1), ("b_d1", "down", 5, 2, 1),
+        ("b_d2", "down", 5, 1, 1),
+        ("mid0", "down", 3, 2, 1), ("mid1", "down", 3, 1, 1),
+        ("mid_dil2", "down", 3, 1, 2), ("mid_dil4", "down", 3, 1, 4),
+        ("mid_dil8", "down", 3, 1, 8), ("mid_dil16", "down", 3, 1, 16),
+        ("mid2", "down", 3, 1, 1), ("mid3", "down", 3, 1, 1),
+        ("mid_up", "up", 3, 2, 1),
+        ("up1_conv", "down", 3, 1, 1), ("up1_up", "up", 3, 2, 1),
+        ("up2_conv", "down", 3, 1, 1),
+    ]
+
+    def __init__(self, params: Dict, stats: Dict):
+        self.blocks: Dict[str, tuple] = {}
+        for name, kind, k, s, d in self.SPEC:
+            p = params[name]
+            bn = p["TorchBatchNorm_0"]["BatchNorm_0"] if kind == "down" \
+                else p["TorchBatchNorm_0"]["BatchNorm_0"]
+            st = stats[name]["TorchBatchNorm_0"]["BatchNorm_0"]
+            kernel = np.asarray(p["Conv_0"]["kernel"] if kind == "down"
+                                else p["kernel"])
+            w_f, b_f = fold_conv_bn(kernel, np.asarray(bn["scale"]),
+                                    np.asarray(bn["bias"]),
+                                    np.asarray(st["mean"]),
+                                    np.asarray(st["var"]))
+            w_q, w_s = quantize_weight(w_f)
+            alpha = float(np.asarray(p["act"]["alpha"]))
+            self.blocks[name] = (jnp.asarray(w_q), jnp.asarray(w_s),
+                                 jnp.asarray(b_f.astype(np.float32)), alpha)
+        # float32 output head
+        self.out_kernel = jnp.asarray(params["out"]["Conv_0"]["kernel"])
+        self.out_bias = jnp.asarray(params["out"]["Conv_0"]["bias"])
+        self.act_scales: Dict[str, float] = {name: 1.0
+                                             for name, *_ in self.SPEC}
+
+
+_INPAINT_BY_NAME = {name: (kind, k, st, d)
+                    for name, kind, k, st, d in QuantInpaintParams.SPEC}
+
+
+class QuantizedDenoiser:
+    """JointDenoiser with int8 ContextAggNet conv trunks.
+
+    Same call contract as `JointDenoiser.apply(variables, mixed, gated,
+    train=False)` -> (noise_pred, compressed_crm); InpaintNet runs in
+    `inpaint_dtype` (default bf16 — its own drift is bounded by
+    tests/test_reference_parity.py), the LSTM/FC mask head in float32.
+
+    `calibrate()` must run before the first forward (static activation
+    scales); it records per-block input maxima over calibration batches.
+    """
+
+    def __init__(self, cfg: DenoiserModelConfig, variables: Dict,
+                 inpaint_dtype: str = "int8",
+                 calibration_margin: float = 1.1):
+        self.cfg = cfg
+        params = variables["params"]["context"]
+        stats = variables["batch_stats"]["context"]
+        n = len(cfg.kernel_sizes)
+        self.enc_x = QuantEncoderParams(params, stats, "enc_x", n)
+        self.enc_n = QuantEncoderParams(params, stats, "enc_n", n)
+        self.head_params = {
+            "lstm": params["lstm"], "fc0": params["fc0"],
+            "fc1": params["fc1"], "fc2": params["fc2"]}
+        self.inpaint_mode = inpaint_dtype
+        self.inpaint = InpaintNet(
+            channels=cfg.inpaint_ch,
+            compute_dtype=inpaint_dtype if inpaint_dtype != "int8"
+            else "bfloat16")
+        self.inpaint_vars = {
+            "params": variables["params"]["inpaint"],
+            "batch_stats": variables["batch_stats"]["inpaint"]}
+        self.qinpaint = QuantInpaintParams(
+            variables["params"]["inpaint"],
+            variables["batch_stats"]["inpaint"]) if inpaint_dtype == "int8" \
+            else None
+        self.margin = calibration_margin
+        self._calibrated = False
+        self._packed = False  # set transiently by the packed entry points
+
+    # -- InpaintNet (quantized) ------------------------------------------
+
+    def _inpaint_geometry(self, gated, mixed, blk):
+        """The InpaintNet dataflow with pluggable per-block op `blk` —
+        written once so the int8 pass and the float calibration pass can
+        never diverge geometrically (models/denoiser.py InpaintNet)."""
+        from sos_tpu.ops.resize import nearest_resize_2d
+
+        d1 = blk("a_in", gated)
+        d2 = blk("a_d2", blk("a_d1", d1))
+        d3 = blk("b_in", mixed)
+        d4 = blk("b_d2", blk("b_d1", d3))
+        x = jnp.concatenate([d2, d4], axis=-1)
+        for nm in ("mid0", "mid1", "mid_dil2", "mid_dil4", "mid_dil8",
+                   "mid_dil16", "mid2", "mid3", "mid_up"):
+            x = blk(nm, x)
+        if x.shape[1:3] != d4.shape[1:3]:
+            x = nearest_resize_2d(x, d4.shape[1:3], h_axis=1, w_axis=2)
+        x = jnp.concatenate([x, d4], axis=-1)
+        x = blk("up1_up", blk("up1_conv", x))
+        if x.shape[1:3] != d3.shape[1:3]:
+            x = nearest_resize_2d(x, d3.shape[1:3], h_axis=1, w_axis=2)
+        x = jnp.concatenate([x, d3], axis=-1)
+        x = blk("up2_conv", x)
+        xp = jnp.pad(x.astype(jnp.float32),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        out_spec = "NCHW" if self._packed else "NHWC"
+        y = jax.lax.conv_general_dilated(
+            xp, self.qinpaint.out_kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", out_spec),
+            preferred_element_type=jnp.float32)
+        bias = self.qinpaint.out_bias
+        return y + (bias[None, :, None, None] if self._packed else bias)
+
+    @staticmethod
+    def _up_pads(k: int) -> Tuple[int, int]:
+        p = (k - 1) // 2
+        pad_amt = k - 1 - p
+        return pad_amt, pad_amt + 1  # output_padding=1 (reference quirk)
+
+    def _inpaint_block_int8(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        qp = self.qinpaint
+        kind, k, s, d = _INPAINT_BY_NAME[name]
+        w_q, w_s, b, alpha = qp.blocks[name]
+        x_q = _quantize_act(x, qp.act_scales[name])
+        packed_in = self._packed and name in ("a_in", "b_in")
+        if kind == "down":
+            pad = (k - 1) // 2 * d
+            spatial = ((2, 3) if packed_in else (1, 2))
+            pads = [(0, 0)] * 4
+            for ax in spatial:
+                pads[ax] = (pad, pad)
+            x_q = jnp.pad(x_q, pads, mode="reflect")
+            acc = jax.lax.conv_general_dilated(
+                x_q, w_q, (s, s), "VALID", rhs_dilation=(d, d),
+                dimension_numbers=("NCHW" if packed_in else "NHWC",
+                                   "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+        else:  # transposed conv: lhs-dilated conv with flipped kernel
+            lo, hi = self._up_pads(k)
+            acc = jax.lax.conv_general_dilated(
+                x_q, w_q[::-1, ::-1], (1, 1), ((lo, hi), (lo, hi)),
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * (qp.act_scales[name] * w_s) + b
+        return jnp.where(y >= 0, y, alpha * y)
+
+    def _inpaint_block_float(self, name: str, x: jnp.ndarray,
+                             record: Dict) -> jnp.ndarray:
+        qp = self.qinpaint
+        kind, k, s, d = _INPAINT_BY_NAME[name]
+        w_q, w_s, b, alpha = qp.blocks[name]
+        record[name] = max(record.get(name, 0.0), float(jnp.max(jnp.abs(x))))
+        w_f = w_q.astype(jnp.float32) * w_s[None, None, None, :]
+        x = x.astype(jnp.float32)
+        packed_in = self._packed and name in ("a_in", "b_in")
+        if kind == "down":
+            pad = (k - 1) // 2 * d
+            spatial = ((2, 3) if packed_in else (1, 2))
+            pads = [(0, 0)] * 4
+            for ax in spatial:
+                pads[ax] = (pad, pad)
+            xp = jnp.pad(x, pads, mode="reflect")
+            y = jax.lax.conv_general_dilated(
+                xp, w_f, (s, s), "VALID", rhs_dilation=(d, d),
+                dimension_numbers=("NCHW" if packed_in else "NHWC",
+                                   "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+        else:
+            lo, hi = self._up_pads(k)
+            y = jax.lax.conv_general_dilated(
+                x, w_f[::-1, ::-1], (1, 1), ((lo, hi), (lo, hi)),
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+        y = y + b
+        return jnp.where(y >= 0, y, alpha * y)
+
+    def _inpaint_int8(self, gated, mixed) -> jnp.ndarray:
+        return self._inpaint_geometry(gated, mixed, self._inpaint_block_int8)
+
+    # -- packed serving entry ---------------------------------------------
+
+    def crm_packed(self, mixed_re, mixed_im, gated_re, gated_im
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Layout-friendly serving entry: spectra as (re, im) pairs of
+        (B, T, F) (see dsp.stft.stft_packed). Returns the compressed cRM
+        as (crm_re, crm_im), same (B, T, F) packing. Avoids every
+        (..., 2)-trailing-dim tensor (which pads 2 -> 128 lanes).
+
+        Calibration scales are layout-invariant, so a `calibrate()` run
+        with NHWC batches serves this entry too.
+        """
+        assert self._calibrated, "call calibrate() before the first forward"
+        assert self.inpaint_mode == "int8", "packed entry requires int8 mode"
+        cfg = self.cfg
+
+        def pack(re, im):  # (B,T,F) -> (B,2,F,T)
+            return jnp.swapaxes(jnp.stack([re, im], axis=1), -1, -2)
+
+        mixed_p = pack(mixed_re, mixed_im)
+        gated_p = pack(gated_re, gated_im)
+        self._packed = True
+        try:
+            noise_p = self._inpaint_geometry(gated_p, mixed_p,
+                                             self._inpaint_block_int8)
+            f_x = self._encoder_int8(self.enc_x, mixed_p, packed=True)
+            f_n = self._encoder_int8(self.enc_n, noise_p, packed=True)
+        finally:
+            self._packed = False
+        h = self._head(f_x, f_n)  # (B, T, 2*F)
+        bsz, t, _ = h.shape
+        h = h.reshape(bsz, t, 2, cfg.freq_bins)
+        return h[:, :, 0, :], h[:, :, 1, :]
+
+    def _run_inpaint(self, gated, mixed) -> jnp.ndarray:
+        if self.inpaint_mode == "int8":
+            return self._inpaint_int8(gated, mixed)
+        return self.inpaint.apply(self.inpaint_vars, gated, mixed,
+                                  train=False)
+
+    # -- calibration ---------------------------------------------------
+
+    def _float_encoder_maxes(self, enc: QuantEncoderParams, x: jnp.ndarray,
+                             packed: bool = False) -> List[float]:
+        """Run the FOLDED float encoder, recording per-block input max."""
+        cfg = self.cfg
+        specs = list(zip(cfg.kernel_sizes, cfg.dilations)) + [((1, 1), (1, 1))]
+        maxes = []
+        for i, ((w_q, w_s, b), (ks, dil)) in enumerate(zip(enc.blocks, specs)):
+            maxes.append(float(jnp.max(jnp.abs(x))))
+            w_f = w_q.astype(jnp.float32) * w_s[None, None, None, :]
+            lhs = "NCHW" if (packed and i == 0) else "NHWC"
+            y = _conv_same(x.astype(jnp.float32), w_f, dil, ks,
+                           jnp.float32, lhs_spec=lhs) + b
+            x = jnp.maximum(y, 0.0)
+        return maxes
+
+    def calibrate(self, sample_batches: List[Tuple[jnp.ndarray, jnp.ndarray]]
+                  ) -> None:
+        """sample_batches: [(mixed_stft, gated_stft)] representative data."""
+        maxes_x = None
+        maxes_n = None
+        inpaint_rec: Dict[str, float] = {}
+        for mixed, gated in sample_batches:
+            if self.inpaint_mode == "int8":
+                noise_pred = self._inpaint_geometry(
+                    gated, mixed,
+                    lambda nm, x: self._inpaint_block_float(nm, x,
+                                                            inpaint_rec))
+            else:
+                noise_pred = self.inpaint.apply(self.inpaint_vars, gated,
+                                                mixed, train=False)
+            mx = self._float_encoder_maxes(self.enc_x, mixed)
+            mn = self._float_encoder_maxes(self.enc_n, noise_pred)
+            maxes_x = mx if maxes_x is None else [max(a, b) for a, b
+                                                  in zip(maxes_x, mx)]
+            maxes_n = mn if maxes_n is None else [max(a, b) for a, b
+                                                  in zip(maxes_n, mn)]
+        self.enc_x.act_scales = [m * self.margin / 127.0 + 1e-12
+                                 for m in maxes_x]
+        self.enc_n.act_scales = [m * self.margin / 127.0 + 1e-12
+                                 for m in maxes_n]
+        if self.inpaint_mode == "int8":
+            self.qinpaint.act_scales = {
+                name: m * self.margin / 127.0 + 1e-12
+                for name, m in inpaint_rec.items()}
+        self._calibrated = True
+
+    # -- forward ---------------------------------------------------------
+
+    def _encoder_int8(self, enc: QuantEncoderParams, x: jnp.ndarray,
+                      packed: bool = False) -> jnp.ndarray:
+        """`packed=True`: x is (B, 2, F, T) — the layout-friendly spectrum
+        packing (the (F, T, 2) layout pads its 2-wide trailing dim to 128
+        lanes). Only the first conv consumes it (NCHW lhs spec)."""
+        cfg = self.cfg
+        specs = list(zip(cfg.kernel_sizes, cfg.dilations)) + [((1, 1), (1, 1))]
+        h = x.astype(jnp.float32)
+        for i, ((w_q, w_s, b), (ks, dil), s_in) in enumerate(
+                zip(enc.blocks, specs, enc.act_scales)):
+            h_q = _quantize_act(h, s_in)
+            lhs = "NCHW" if (packed and i == 0) else "NHWC"
+            acc = _conv_same(h_q, w_q, dil, ks, jnp.int32, lhs_spec=lhs)
+            # dequant (per-out-channel) + bias + ReLU, fused by XLA into
+            # the conv epilogue together with the next block's requant
+            h = jnp.maximum(
+                acc.astype(jnp.float32) * (s_in * w_s)[None, None, None, :]
+                + b, 0.0)
+        bsz, f, t, c = h.shape
+        return jnp.transpose(h, (0, 2, 3, 1)).reshape(bsz, t, c * f)
+
+    def __call__(self, mixed: jnp.ndarray, gated_noise: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        assert self._calibrated, "call calibrate() before the first forward"
+        cfg = self.cfg
+        noise_pred = self._run_inpaint(gated_noise, mixed)
+        f_x = self._encoder_int8(self.enc_x, mixed)
+        f_n = self._encoder_int8(self.enc_n, noise_pred)
+        h = self._head(f_x, f_n)
+        bsz, t, _ = h.shape
+        h = h.reshape(bsz, t, 2, cfg.freq_bins)
+        crm = jnp.transpose(h, (0, 3, 1, 2))
+        return noise_pred, crm
+
+    def _head(self, f_x: jnp.ndarray, f_n: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        h = jnp.concatenate([f_x, f_n], axis=-1)
+        h = BiLSTM(hidden=cfg.lstm_hidden).apply(
+            {"params": self.head_params["lstm"]}, h)
+        h = jax.nn.relu(TorchLinear(cfg.fc_hidden).apply(
+            {"params": self.head_params["fc0"]}, h))
+        h = jax.nn.relu(TorchLinear(cfg.fc_hidden).apply(
+            {"params": self.head_params["fc1"]}, h))
+        return jax.nn.sigmoid(TorchLinear(cfg.freq_bins * 2).apply(
+            {"params": self.head_params["fc2"]}, h))

@@ -1,0 +1,128 @@
+"""Int8 post-training quantization: folding exactness + drift bounds.
+
+The int8 profile (sos_tpu/models/quant.py) is the bench headline; these
+tests pin its quality contract on CPU:
+  * BN folding is mathematically exact;
+  * the packed (re,im) serving entry is bit-identical to the NHWC int8
+    path (layout change only);
+  * the quantized mask drifts from the f32 reference by far less than
+    the certified bf16 budget (tests/test_reference_parity.py: <0.05);
+  * inputs beyond the calibrated range degrade gracefully (clip), never
+    produce non-finite outputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from sos_tpu.config import DenoiserModelConfig
+from sos_tpu.models import JointDenoiser
+from sos_tpu.models.quant import (
+    QuantizedDenoiser,
+    fold_conv_bn,
+    quantize_weight,
+)
+
+
+def _tiny_cfg():
+    return DenoiserModelConfig(
+        nf_mixed=8, nf_noise=4, outf_mixed=4, outf_noise=2,
+        kernel_sizes=((1, 7), (5, 5)), dilations=((1, 1), (2, 2)),
+        lstm_hidden=8, fc_hidden=16, inpaint_ch=(4, 6, 8))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _tiny_cfg()
+    model = JointDenoiser(cfg)
+    rng = jr.PRNGKey(0)
+    x = jr.normal(rng, (2, 256, 64, 2)) * 0.3
+    y = jr.normal(jr.PRNGKey(5), (2, 256, 64, 2)) * 0.3
+    v = model.init(jr.PRNGKey(1), x, x)
+    return cfg, model, v, x, y
+
+
+def test_fold_conv_bn_exact(rng):
+    k = rng.standard_normal((3, 3, 4, 8)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, 8).astype(np.float32)
+    bias = rng.standard_normal(8).astype(np.float32)
+    mean = rng.standard_normal(8).astype(np.float32) * 0.3
+    var = rng.uniform(0.4, 2.0, 8).astype(np.float32)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
+
+    def conv(w):
+        return jax.lax.conv_general_dilated(
+            x, jnp.asarray(w), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    ref = (conv(k) - mean) / np.sqrt(var + 1e-5) * scale + bias
+    w_f, b_f = fold_conv_bn(k, scale, bias, mean, var)
+    folded = conv(w_f) + b_f
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_quantize_weight_bounds(rng):
+    k = rng.standard_normal((5, 5, 8, 16)).astype(np.float32)
+    w_q, s = quantize_weight(k)
+    assert w_q.dtype == np.int8 and s.shape == (16,)
+    recon = w_q.astype(np.float32) * s[None, None, None, :]
+    # per-channel symmetric int8: error <= scale/2 everywhere
+    assert np.all(np.abs(recon - k) <= s[None, None, None, :] * 0.5 + 1e-7)
+
+
+def test_packed_entry_matches_nhwc(setup):
+    cfg, model, v, x, y = setup
+    q = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")
+    q.calibrate([(x, y)])
+    _, crm = jax.jit(q.__call__)(x, y)
+    mr, mi = jnp.swapaxes(x[..., 0], -1, -2), jnp.swapaxes(x[..., 1], -1, -2)
+    gr, gi = jnp.swapaxes(y[..., 0], -1, -2), jnp.swapaxes(y[..., 1], -1, -2)
+    cr, ci = jax.jit(q.crm_packed)(mr, mi, gr, gi)
+    np.testing.assert_array_equal(
+        np.asarray(cr), np.asarray(jnp.swapaxes(crm[..., 0], -1, -2)))
+    np.testing.assert_array_equal(
+        np.asarray(ci), np.asarray(jnp.swapaxes(crm[..., 1], -1, -2)))
+
+
+def test_int8_mask_drift_bounded(setup):
+    cfg, model, v, x, y = setup
+    ref_noise, ref_crm = model.apply(v, x, y, train=False)
+    assert float(jnp.std(ref_crm)) > 1e-4  # non-degenerate check target
+    q = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")
+    q.calibrate([(x, y)])
+    qn, qc = jax.jit(q.__call__)(x, y)
+    drift = float(jnp.abs(qc - ref_crm).max())
+    assert drift < 5e-3, drift  # certified budget; measured ~1e-4
+    assert float(jnp.abs(qn - ref_noise).max()) < 5e-2
+
+
+def test_out_of_range_inputs_clip_gracefully(setup):
+    cfg, model, v, x, y = setup
+    q = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")
+    q.calibrate([(x, y)])
+    qn, qc = jax.jit(q.__call__)(x * 10.0, y * 10.0)  # 10x calibration range
+    assert np.isfinite(np.asarray(qc)).all()
+    assert np.isfinite(np.asarray(qn)).all()
+    assert float(jnp.min(qc)) >= 0.0 and float(jnp.max(qc)) <= 1.0
+
+
+def test_calibrate_required(setup):
+    cfg, model, v, x, y = setup
+    q = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")
+    with pytest.raises(AssertionError):
+        q(x, y)
+
+
+def test_bf16_inpaint_mode(setup):
+    """inpaint_dtype='bfloat16' keeps InpaintNet float while the trunks
+    quantize — the intermediate profile."""
+    cfg, model, v, x, y = setup
+    q = QuantizedDenoiser(cfg, v, inpaint_dtype="bfloat16")
+    q.calibrate([(x, y)])
+    _, ref_crm = model.apply(v, x, y, train=False)
+    _, qc = jax.jit(q.__call__)(x, y)
+    assert float(jnp.abs(qc - ref_crm).max()) < 5e-3

@@ -111,3 +111,21 @@ def test_frame_overlap_add_inverse(rng):
     # overlap_add of disjointly-supported frames reassembles
     ones = overlap_add(jnp.asarray(fr), 158)
     assert ones.shape[-1] == (t - 1) * 158 + 510
+
+
+def test_packed_stft_matches_nhwc(rng):
+    """stft_packed/istft_packed: identical math to stft/istft, packed
+    (re, im) (B, T, F) layout (the serving path's layout fix)."""
+    import jax.numpy as jnp
+    from sos_tpu.dsp.stft import istft, istft_packed, stft, stft_packed
+
+    y = jnp.asarray(rng.standard_normal((2, 20000)).astype(np.float32) * 0.3)
+    ref = stft(y)  # (B, F, T, 2)
+    re, im = stft_packed(y)
+    np.testing.assert_array_equal(np.asarray(re),
+                                  np.asarray(jnp.swapaxes(ref[..., 0], -1, -2)))
+    np.testing.assert_array_equal(np.asarray(im),
+                                  np.asarray(jnp.swapaxes(ref[..., 1], -1, -2)))
+    a = np.asarray(istft(ref))
+    b = np.asarray(istft_packed(re, im))
+    np.testing.assert_allclose(a, b, atol=1e-6)
