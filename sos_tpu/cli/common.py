@@ -26,7 +26,9 @@ def experiment_dirs(cfg: ExperimentConfig, stage: str) -> Tuple[str, str, str]:
 def add_common_train_args(parser: argparse.ArgumentParser,
                           need_dataset: bool = True) -> None:
     parser.add_argument("--continue", dest="cont", action="store_true",
-                        help="continue training from checkpoint")
+                        help="continue training from checkpoint (epoch-"
+                             "granular: a mid-epoch checkpoint resumes "
+                             "from the top of that epoch's batch order)")
     parser.add_argument("--ckpt", type=str, default="latest",
                         help="checkpoint to restore ('latest' or epoch number)")
     parser.add_argument("--dataset_json", type=str, required=need_dataset,

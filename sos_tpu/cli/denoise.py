@@ -37,7 +37,13 @@ def main() -> None:
     parser.add_argument("--overlap_seconds", type=float, default=0.5)
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--bf16", action="store_true",
-                        help="bfloat16 conv trunks (fastest on TPU)")
+                        help="shorthand for --profile bf16")
+    parser.add_argument("--profile", type=str, default=None,
+                        choices=("f32", "bf16", "int8"),
+                        help="serving profile (see bench.py): f32 = "
+                             "reference-exact, bf16 = bf16 conv trunks, "
+                             "int8 = quantized trunks + packed layout "
+                             "(fastest; self-calibrates on first batch)")
     args = parser.parse_args()
 
     cfg = config_from_args(args, stage="denoise")
@@ -49,10 +55,12 @@ def main() -> None:
                                        args.denoiser_pth)
 
     wav, _ = audio_io.load(args.input, sr=cfg.data.sample_rate)
+    profile = args.profile or ("bf16" if args.bf16 else None)
     stream = StreamingDenoiser(
         cfg, det_vars, den_vars, chunk_seconds=args.chunk_seconds,
         overlap_seconds=args.overlap_seconds, threshold=args.threshold,
-        compute_dtype="bfloat16" if args.bf16 else "float32")
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+        profile=profile)
     out = stream.denoise(wav.astype(np.float32))
     audio_io.write_wav(args.output, out, cfg.data.sample_rate)
     print(f"denoised {len(wav) / cfg.data.sample_rate:.1f}s -> {args.output}")

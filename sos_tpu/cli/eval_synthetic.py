@@ -28,6 +28,10 @@ def main() -> None:
                         help="indices into the SNR set (-10..10)")
     parser.add_argument("--max_batches", type=int, default=None)
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--profile", type=str, default=None,
+                        choices=("f32", "bf16", "int8"),
+                        help="serving profile to evaluate (measures the "
+                             "profile's quality delta on this checkpoint)")
     args = parser.parse_args()
     cfg = config_from_args(args, stage="denoiser")
     _, _, model_dir = experiment_dirs(cfg, "denoiser")
@@ -46,7 +50,8 @@ def main() -> None:
                                   cfg.train.batch_size, shuffle=False,
                                   seed=cfg.data.pred_random_seed)
         agg = evaluate_synthetic(snr_cfg, variables, batcher,
-                                 max_batches=args.max_batches)
+                                 max_batches=args.max_batches,
+                                 profile=args.profile)
         snr = cfg.data.snrs[idx]
         report[f"snr_{snr}"] = agg
         print(f"SNR {snr:+d} dB: " + " ".join(

@@ -15,7 +15,6 @@ BiLSTM) and the iSTFT normalizes with a masked window envelope.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -31,6 +30,21 @@ from sos_tpu.models import JointDenoiser
 DEFAULT_BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
 
 
+
+def _instance_memo(obj, key, build):
+    """Per-instance compiled-program cache.
+
+    functools.lru_cache on methods is class-level: it counts programs
+    across ALL instances and keeps every instance alive via the cached
+    `self` keys (a leak for long-lived servers). This keys programs on
+    the instance itself.
+    """
+    cache = obj.__dict__.setdefault("_programs", {})
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 class DenoiserPredictor:
     def __init__(self, cfg: ExperimentConfig, variables: Dict,
                  buckets: Optional[Sequence[int]] = None):
@@ -39,8 +53,11 @@ class DenoiserPredictor:
         self.variables = variables
         self.buckets = tuple(buckets) if buckets else None
 
-    @functools.lru_cache(maxsize=64)
-    def _compiled(self, num_samples: int):
+    def _compiled(self, *key):
+        return _instance_memo(self, ("exact",) + key,
+                              lambda: self._build_compiled(*key))
+
+    def _build_compiled(self, num_samples: int):
         model = self.model
         scfg = self.cfg.stft
 
@@ -58,8 +75,11 @@ class DenoiserPredictor:
 
         return run
 
-    @functools.lru_cache(maxsize=32)
-    def _compiled_bucketed(self, bucket_t: int):
+    def _compiled_bucketed(self, *key):
+        return _instance_memo(self, ("bucketed",) + key,
+                              lambda: self._build_compiled_bucketed(*key))
+
+    def _build_compiled_bucketed(self, bucket_t: int):
         model = self.model
         scfg = self.cfg.stft
 
@@ -133,8 +153,11 @@ class DenoiserPredictor:
 
     # -- batched bucketed mode ------------------------------------------------
 
-    @functools.lru_cache(maxsize=32)
-    def _compiled_bucketed_vmapped(self, bucket_t: int, batch: int,
+    def _compiled_bucketed_vmapped(self, *key):
+        return _instance_memo(self, ("vmapped",) + key,
+                              lambda: self._build_compiled_bucketed_vmapped(*key))
+
+    def _build_compiled_bucketed_vmapped(self, bucket_t: int, batch: int,
                                    keys: Tuple[str, ...]):
         """vmap of the single-utterance bucketed program with per-item
         valid_t — one compiled program per (bucket, batch tile) serves

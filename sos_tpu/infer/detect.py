@@ -18,7 +18,6 @@ BiLSTM masks padded steps (see sos_tpu.ops.lstm.lstm_scan).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -33,6 +32,21 @@ DEFAULT_BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
 FRAMES_GRANULARITY = 64  # video-frame grid rounds up to multiples of this
 
 
+
+def _instance_memo(obj, key, build):
+    """Per-instance compiled-program cache.
+
+    functools.lru_cache on methods is class-level: it counts programs
+    across ALL instances and keeps every instance alive via the cached
+    `self` keys (a leak for long-lived servers). This keys programs on
+    the instance itself.
+    """
+    cache = obj.__dict__.setdefault("_programs", {})
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
 class DetectorPredictor:
     def __init__(self, cfg: ExperimentConfig, variables: Dict,
                  threshold: float = 0.5,
@@ -45,8 +59,11 @@ class DetectorPredictor:
 
     # -- exact (per-length) mode --------------------------------------------
 
-    @functools.lru_cache(maxsize=64)
-    def _compiled(self, padded_samples: int, num_frames: int):
+    def _compiled(self, *key):
+        return _instance_memo(self, ("exact",) + key,
+                              lambda: self._build_compiled(*key))
+
+    def _build_compiled(self, padded_samples: int, num_frames: int):
         # padded_samples participates only as the compile-cache key — the
         # actual length is captured from the traced waveform shape.
         model = self.model
@@ -63,8 +80,11 @@ class DetectorPredictor:
 
     # -- bucketed-exact mode --------------------------------------------------
 
-    @functools.lru_cache(maxsize=32)
-    def _compiled_bucketed(self, bucket_t: int, frames_bucket: int):
+    def _compiled_bucketed(self, *key):
+        return _instance_memo(self, ("bucketed",) + key,
+                              lambda: self._build_compiled_bucketed(*key))
+
+    def _build_compiled_bucketed(self, bucket_t: int, frames_bucket: int):
         model = self.model
         scfg = self.cfg.stft
 
@@ -116,8 +136,11 @@ class DetectorPredictor:
 
     # -- batched bucketed mode ------------------------------------------------
 
-    @functools.lru_cache(maxsize=32)
-    def _compiled_bucketed_vmapped(self, bucket_t: int, frames_bucket: int,
+    def _compiled_bucketed_vmapped(self, *key):
+        return _instance_memo(self, ("vmapped",) + key,
+                              lambda: self._build_compiled_bucketed_vmapped(*key))
+
+    def _build_compiled_bucketed_vmapped(self, bucket_t: int, frames_bucket: int,
                                    batch: int):
         """One program per (bucket, frame-bucket, batch tile): vmap of the
         single-item bucketed program with per-item valid lengths."""

@@ -30,7 +30,19 @@ class FusedDenoisePipeline:
 
     def __init__(self, cfg: ExperimentConfig, detector_vars: Dict,
                  denoiser_vars: Dict, threshold: float = 0.5,
-                 clip_seconds: float = 2.0, compute_dtype: str = "float32"):
+                 clip_seconds: float = 2.0, compute_dtype: str = "float32",
+                 profile: str = None):
+        """`profile`: "f32" | "bf16" | "int8" — the bench.py profiles.
+        f32/bf16 map onto `compute_dtype`; "int8" swaps the denoiser for
+        the quantized packed pipeline (models/quant.py; detector runs
+        bf16). The int8 profile self-calibrates on the FIRST batch it
+        sees (static activation scales; mixed spectra are an upper bound
+        for the gated-noise observation, so the scales are safe)."""
+        if profile:
+            compute_dtype = {"f32": "float32", "bf16": "bfloat16",
+                             "int8": "bfloat16"}[profile]
+        self.profile = profile or (
+            "bf16" if compute_dtype == "bfloat16" else "f32")
         self.cfg = cfg
         self.threshold = threshold
         self.detector = SilenceDetector(cfg.detector,
@@ -41,7 +53,15 @@ class FusedDenoisePipeline:
         self.denoiser_vars = denoiser_vars
         self.clip_samples = int(clip_seconds * cfg.data.sample_rate)
         self.num_frames = int(clip_seconds * cfg.data.frame_rate)
-        self._run = self._build()
+        self._quant = None
+        if self.profile == "int8":
+            from sos_tpu.models.quant import QuantizedDenoiser
+
+            self._quant = QuantizedDenoiser(cfg.denoiser, denoiser_vars,
+                                            inpaint_dtype="int8")
+            self._run = self._build_int8()
+        else:
+            self._run = self._build()
 
     def _build(self):
         cfg = self.cfg
@@ -71,10 +91,44 @@ class FusedDenoisePipeline:
 
         return run
 
+    def _build_int8(self):
+        cfg = self.cfg
+        scfg = cfg.stft
+        ratio = cfg.data.sample_rate / cfg.data.frame_rate
+        clip_samples = self.clip_samples
+        num_frames = self.num_frames
+        threshold = self.threshold
+        detector, quant = self.detector, self._quant
+        from sos_tpu.dsp.crm import crm_sigmoid_recover
+        from sos_tpu.dsp.stft import istft_packed, stft_packed
+
+        @jax.jit
+        def run(det_vars, _unused, mixed):
+            mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
+                              scfg.win_length)
+            logits = detector.apply(det_vars, mixed_stft,
+                                    num_frames=num_frames, train=False)
+            bits = (jax.nn.sigmoid(logits) >= threshold).astype(jnp.float32)
+            mask = bitstream_to_sample_mask(bits, ratio, clip_samples,
+                                            cfg.data.despeckle_min_run)
+            mr, mi = stft_packed(mixed, scfg.n_fft, scfg.hop_length,
+                                 scfg.win_length)
+            gr, gi = stft_packed(mixed * mask, scfg.n_fft, scfg.hop_length,
+                                 scfg.win_length)
+            cr, ci = quant.crm_packed(mr, mi, gr, gi)
+            rr, ri = crm_sigmoid_recover(cr), crm_sigmoid_recover(ci)
+            denoised = istft_packed(rr * mr - ri * mi, rr * mi + ri * mr,
+                                    scfg.n_fft, scfg.hop_length,
+                                    scfg.win_length)
+            return denoised, bits
+
+        return run
+
     def __call__(self, mixed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """mixed: (B, clip_samples) -> (denoised (B, (T-1)*hop), bits (B, frames))."""
         assert mixed.shape[-1] == self.clip_samples, (
             mixed.shape, self.clip_samples)
+        self._maybe_calibrate(mixed)
         return self._run(self.detector_vars, self.denoiser_vars, mixed)
 
     # -- split entries (used by StreamingDenoiser's boundary-consistent
@@ -98,19 +152,39 @@ class FusedDenoisePipeline:
                                     num_frames=num_frames, train=False)
             return (jax.nn.sigmoid(logits) >= threshold).astype(jnp.float32)
 
-        @jax.jit
-        def denoise_bits(den_vars, mixed, bits):
-            mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
-                              scfg.win_length)
-            mask = bitstream_to_sample_mask(bits, ratio, clip_samples,
-                                            cfg.data.despeckle_min_run)
-            gated_stft = stft(mixed * mask, scfg.n_fft, scfg.hop_length,
-                              scfg.win_length)
-            _, crm = denoiser.apply(den_vars, mixed_stft, gated_stft,
-                                    train=False)
-            clean_stft = apply_compressed_crm(mixed_stft, crm)
-            return istft(clean_stft, scfg.n_fft, scfg.hop_length,
-                         scfg.win_length)
+        quant = self._quant
+
+        if quant is not None:  # int8 profile: packed quantized denoiser
+            from sos_tpu.dsp.crm import crm_sigmoid_recover
+            from sos_tpu.dsp.stft import istft_packed, stft_packed
+
+            @jax.jit
+            def denoise_bits(den_vars, mixed, bits):
+                mask = bitstream_to_sample_mask(
+                    bits, ratio, clip_samples, cfg.data.despeckle_min_run)
+                mr, mi = stft_packed(mixed, scfg.n_fft, scfg.hop_length,
+                                     scfg.win_length)
+                gr, gi = stft_packed(mixed * mask, scfg.n_fft,
+                                     scfg.hop_length, scfg.win_length)
+                cr, ci = quant.crm_packed(mr, mi, gr, gi)
+                rr, ri = crm_sigmoid_recover(cr), crm_sigmoid_recover(ci)
+                return istft_packed(rr * mr - ri * mi, rr * mi + ri * mr,
+                                    scfg.n_fft, scfg.hop_length,
+                                    scfg.win_length)
+        else:
+            @jax.jit
+            def denoise_bits(den_vars, mixed, bits):
+                mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
+                                  scfg.win_length)
+                mask = bitstream_to_sample_mask(bits, ratio, clip_samples,
+                                                cfg.data.despeckle_min_run)
+                gated_stft = stft(mixed * mask, scfg.n_fft, scfg.hop_length,
+                                  scfg.win_length)
+                _, crm = denoiser.apply(den_vars, mixed_stft, gated_stft,
+                                        train=False)
+                clean_stft = apply_compressed_crm(mixed_stft, crm)
+                return istft(clean_stft, scfg.n_fft, scfg.hop_length,
+                             scfg.win_length)
 
         return detect, denoise_bits
 
@@ -123,9 +197,16 @@ class FusedDenoisePipeline:
     def denoise_with_bits(self, mixed: jnp.ndarray,
                           bits: jnp.ndarray) -> jnp.ndarray:
         """Denoise with externally supplied (e.g. reconciled) bits."""
+        self._maybe_calibrate(mixed)
         if not hasattr(self, "_denoise_bits"):
             self._detect, self._denoise_bits = self._build_split()
         return self._denoise_bits(self.denoiser_vars, mixed, bits)
+
+    def _maybe_calibrate(self, mixed) -> None:
+        if self._quant is not None and not self._quant._calibrated:
+            spec = stft(jnp.asarray(mixed), self.cfg.stft.n_fft,
+                        self.cfg.stft.hop_length, self.cfg.stft.win_length)
+            self._quant.calibrate([(spec, spec)])
 
     def shard(self, mesh, axis: str = "data") -> "FusedDenoisePipeline":
         """Serve batch-sharded over a device mesh (SPMD inference).

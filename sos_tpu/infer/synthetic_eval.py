@@ -36,21 +36,41 @@ def evaluate_synthetic(
     metrics_sr: int = 16000,
     max_batches: Optional[int] = None,
     compute_dtype: str = "float32",
+    profile: Optional[str] = None,
 ) -> OrderedDict:
     """Run batched mix->denoise->metrics; returns avg_* aggregates.
 
     The batcher must be built with a pinned snr_idx (cfg.data.snr_idx) for
     a per-SNR report; denoising uses the ground-truth bitstreams (the
     reference's stage-2 eval setting when intervals are known).
+
+    `profile` ("f32"/"bf16"/"int8"): run the eval through a bench.py
+    serving profile — THE way to measure a profile's STOI/PESQ delta on
+    real data for a given checkpoint (int8 self-calibrates on the first
+    batch).
     """
+    if profile in ("f32", None):
+        compute_dtype = "float32"
+    elif profile == "bf16":
+        compute_dtype = "bfloat16"
     model = JointDenoiser(cfg.denoiser, compute_dtype=compute_dtype)
     scfg = cfg.stft
+    quant = None
+    if profile == "int8":
+        from sos_tpu.models.quant import QuantizedDenoiser
+
+        quant = QuantizedDenoiser(cfg.denoiser, denoiser_vars,
+                                  inpaint_dtype="int8")
 
     @jax.jit
     def run(variables, clean, noise, snr, bits):
         d = device_mix_and_stft_denoiser(clean, noise, snr, bits,
                                          cfg.data, cfg.stft)
-        _, crm = model.apply(variables, d["mixed"], d["noise"], train=False)
+        if quant is not None:
+            _, crm = quant(d["mixed"], d["noise"])
+        else:
+            _, crm = model.apply(variables, d["mixed"], d["noise"],
+                                 train=False)
         out_stft = apply_compressed_crm(d["mixed"], crm)
         denoised = istft(out_stft, scfg.n_fft, scfg.hop_length,
                          scfg.win_length)
@@ -58,11 +78,22 @@ def evaluate_synthetic(
                           scfg.win_length)
         return denoised, clean_sig
 
+    def calibrate_first(batch):
+        if quant is None or quant._calibrated:
+            return
+        d = jax.jit(lambda c, n, s, b: device_mix_and_stft_denoiser(
+            c, n, s, b, cfg.data, cfg.stft))(
+            jnp.asarray(batch["clean"]), jnp.asarray(batch["noise"]),
+            jnp.asarray(batch["snr"]), jnp.asarray(batch["bits"]))
+        quant.calibrate([(d["mixed"], d["noise"])])
+
     per_clip = []
     sr = cfg.data.sample_rate
     for b_idx, batch in enumerate(batcher):
         if max_batches is not None and b_idx >= max_batches:
             break
+        if b_idx == 0:
+            calibrate_first(batch)
         denoised, clean_sig = run(
             denoiser_vars, jnp.asarray(batch["clean"]),
             jnp.asarray(batch["noise"]), jnp.asarray(batch["snr"]),
