@@ -54,11 +54,14 @@ class FusedDenoisePipeline:
         self.clip_samples = int(clip_seconds * cfg.data.sample_rate)
         self.num_frames = int(clip_seconds * cfg.data.frame_rate)
         self._quant = None
+        self._quant_det = None
         if self.profile == "int8":
-            from sos_tpu.models.quant import QuantizedDenoiser
+            from sos_tpu.models.quant import (QuantizedDenoiser,
+                                              QuantizedDetector)
 
             self._quant = QuantizedDenoiser(cfg.denoiser, denoiser_vars,
                                             inpaint_dtype="int8")
+            self._quant_det = QuantizedDetector(cfg.detector, detector_vars)
             self._run = self._build_int8()
         else:
             self._run = self._build()
@@ -98,21 +101,20 @@ class FusedDenoisePipeline:
         clip_samples = self.clip_samples
         num_frames = self.num_frames
         threshold = self.threshold
-        detector, quant = self.detector, self._quant
+        quant, quant_det = self._quant, self._quant_det
         from sos_tpu.dsp.crm import crm_sigmoid_recover
         from sos_tpu.dsp.stft import istft_packed, stft_packed
 
         @jax.jit
         def run(det_vars, _unused, mixed):
-            mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
-                              scfg.win_length)
-            logits = detector.apply(det_vars, mixed_stft,
-                                    num_frames=num_frames, train=False)
+            # ONE packed STFT feeds both the quantized detector and the
+            # denoiser's mixed branch.
+            mr, mi = stft_packed(mixed, scfg.n_fft, scfg.hop_length,
+                                 scfg.win_length)
+            logits = quant_det.logits_packed(mr, mi, num_frames)
             bits = (jax.nn.sigmoid(logits) >= threshold).astype(jnp.float32)
             mask = bitstream_to_sample_mask(bits, ratio, clip_samples,
                                             cfg.data.despeckle_min_run)
-            mr, mi = stft_packed(mixed, scfg.n_fft, scfg.hop_length,
-                                 scfg.win_length)
             gr, gi = stft_packed(mixed * mask, scfg.n_fft, scfg.hop_length,
                                  scfg.win_length)
             cr, ci = quant.crm_packed(mr, mi, gr, gi)
@@ -144,13 +146,27 @@ class FusedDenoisePipeline:
         threshold = self.threshold
         detector, denoiser = self.detector, self.denoiser
 
-        @jax.jit
-        def detect(det_vars, mixed):
-            mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
-                              scfg.win_length)
-            logits = detector.apply(det_vars, mixed_stft,
-                                    num_frames=num_frames, train=False)
-            return (jax.nn.sigmoid(logits) >= threshold).astype(jnp.float32)
+        quant_det = self._quant_det
+
+        if quant_det is not None:
+            from sos_tpu.dsp.stft import stft_packed as _sp
+
+            @jax.jit
+            def detect(det_vars, mixed):
+                mr, mi = _sp(mixed, scfg.n_fft, scfg.hop_length,
+                             scfg.win_length)
+                logits = quant_det.logits_packed(mr, mi, num_frames)
+                return (jax.nn.sigmoid(logits) >= threshold
+                        ).astype(jnp.float32)
+        else:
+            @jax.jit
+            def detect(det_vars, mixed):
+                mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
+                                  scfg.win_length)
+                logits = detector.apply(det_vars, mixed_stft,
+                                        num_frames=num_frames, train=False)
+                return (jax.nn.sigmoid(logits) >= threshold
+                        ).astype(jnp.float32)
 
         quant = self._quant
 
@@ -190,6 +206,7 @@ class FusedDenoisePipeline:
 
     def detect_bits(self, mixed: jnp.ndarray) -> jnp.ndarray:
         """(B, clip_samples) -> thresholded bits (B, num_frames)."""
+        self._maybe_calibrate(mixed)
         if not hasattr(self, "_detect"):
             self._detect, self._denoise_bits = self._build_split()
         return self._detect(self.detector_vars, mixed)
@@ -207,6 +224,8 @@ class FusedDenoisePipeline:
             spec = stft(jnp.asarray(mixed), self.cfg.stft.n_fft,
                         self.cfg.stft.hop_length, self.cfg.stft.win_length)
             self._quant.calibrate([(spec, spec)])
+            if self._quant_det is not None:
+                self._quant_det.calibrate([spec])
 
     def shard(self, mesh, axis: str = "data") -> "FusedDenoisePipeline":
         """Serve batch-sharded over a device mesh (SPMD inference).

@@ -75,9 +75,9 @@ class QuantEncoderParams:
     """Folded + int8-quantized parameters for one encoder stack."""
 
     def __init__(self, params: Dict, stats: Dict, prefix: str,
-                 n_blocks: int):
+                 n_blocks: int, proj_name: str = None):
         self.blocks: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = []
-        names = [f"{prefix}{i}" for i in range(n_blocks)] + [f"{prefix}proj"]
+        names = [f"{prefix}{i}" for i in range(n_blocks)] +             [proj_name or f"{prefix}proj"]
         for name in names:
             w_f, b_f = fold_conv_bn(*_block_tree(params, stats, name))
             w_q, w_s = quantize_weight(w_f)
@@ -108,6 +108,38 @@ def _conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray,
 
 def _quantize_act(x: jnp.ndarray, scale: float) -> jnp.ndarray:
     return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
+def _run_encoder_int8(enc: "QuantEncoderParams", specs, x: jnp.ndarray,
+                      packed: bool = False) -> jnp.ndarray:
+    """Shared int8 conv-trunk runner (ContextAggNet encoders + detector
+    trunk). `packed=True`: x is (B, 2, F, T); the first conv consumes it
+    via an NCHW lhs spec. Returns NHWC activations of the proj block."""
+    h = x.astype(jnp.float32)
+    for i, ((w_q, w_s, b), (ks, dil), s_in) in enumerate(
+            zip(enc.blocks, specs, enc.act_scales)):
+        h_q = _quantize_act(h, s_in)
+        lhs = "NCHW" if (packed and i == 0) else "NHWC"
+        acc = _conv_same(h_q, w_q, dil, ks, jnp.int32, lhs_spec=lhs)
+        h = jnp.maximum(
+            acc.astype(jnp.float32) * (s_in * w_s)[None, None, None, :]
+            + b, 0.0)
+    return h
+
+
+def _run_encoder_float_maxes(enc: "QuantEncoderParams", specs,
+                             x: jnp.ndarray, packed: bool = False
+                             ) -> List[float]:
+    """Folded-float pass recording per-block input maxima (calibration)."""
+    maxes = []
+    for i, ((w_q, w_s, b), (ks, dil)) in enumerate(zip(enc.blocks, specs)):
+        maxes.append(float(jnp.max(jnp.abs(x))))
+        w_f = w_q.astype(jnp.float32) * w_s[None, None, None, :]
+        lhs = "NCHW" if (packed and i == 0) else "NHWC"
+        y = _conv_same(x.astype(jnp.float32), w_f, dil, ks, jnp.float32,
+                       lhs_spec=lhs) + b
+        x = jnp.maximum(y, 0.0)
+    return maxes
 
 
 class QuantInpaintParams:
@@ -348,18 +380,9 @@ class QuantizedDenoiser:
 
     def _float_encoder_maxes(self, enc: QuantEncoderParams, x: jnp.ndarray,
                              packed: bool = False) -> List[float]:
-        """Run the FOLDED float encoder, recording per-block input max."""
-        cfg = self.cfg
-        specs = list(zip(cfg.kernel_sizes, cfg.dilations)) + [((1, 1), (1, 1))]
-        maxes = []
-        for i, ((w_q, w_s, b), (ks, dil)) in enumerate(zip(enc.blocks, specs)):
-            maxes.append(float(jnp.max(jnp.abs(x))))
-            w_f = w_q.astype(jnp.float32) * w_s[None, None, None, :]
-            lhs = "NCHW" if (packed and i == 0) else "NHWC"
-            y = _conv_same(x.astype(jnp.float32), w_f, dil, ks,
-                           jnp.float32, lhs_spec=lhs) + b
-            x = jnp.maximum(y, 0.0)
-        return maxes
+        specs = list(zip(self.cfg.kernel_sizes, self.cfg.dilations)) \
+            + [((1, 1), (1, 1))]
+        return _run_encoder_float_maxes(enc, specs, x, packed)
 
     def calibrate(self, sample_batches: List[Tuple[jnp.ndarray, jnp.ndarray]]
                   ) -> None:
@@ -399,19 +422,9 @@ class QuantizedDenoiser:
         """`packed=True`: x is (B, 2, F, T) — the layout-friendly spectrum
         packing (the (F, T, 2) layout pads its 2-wide trailing dim to 128
         lanes). Only the first conv consumes it (NCHW lhs spec)."""
-        cfg = self.cfg
-        specs = list(zip(cfg.kernel_sizes, cfg.dilations)) + [((1, 1), (1, 1))]
-        h = x.astype(jnp.float32)
-        for i, ((w_q, w_s, b), (ks, dil), s_in) in enumerate(
-                zip(enc.blocks, specs, enc.act_scales)):
-            h_q = _quantize_act(h, s_in)
-            lhs = "NCHW" if (packed and i == 0) else "NHWC"
-            acc = _conv_same(h_q, w_q, dil, ks, jnp.int32, lhs_spec=lhs)
-            # dequant (per-out-channel) + bias + ReLU, fused by XLA into
-            # the conv epilogue together with the next block's requant
-            h = jnp.maximum(
-                acc.astype(jnp.float32) * (s_in * w_s)[None, None, None, :]
-                + b, 0.0)
+        specs = list(zip(self.cfg.kernel_sizes, self.cfg.dilations)) \
+            + [((1, 1), (1, 1))]
+        h = _run_encoder_int8(enc, specs, x, packed)
         bsz, f, t, c = h.shape
         return jnp.transpose(h, (0, 2, 3, 1)).reshape(bsz, t, c * f)
 
@@ -439,3 +452,65 @@ class QuantizedDenoiser:
             {"params": self.head_params["fc1"]}, h))
         return jax.nn.sigmoid(TorchLinear(cfg.freq_bins * 2).apply(
             {"params": self.head_params["fc2"]}, h))
+
+
+class QuantizedDetector:
+    """SilenceDetector with an int8 conv trunk (models/detector.py; the
+    trunk is ~90% of detector FLOPs). BiLSTM + FC head stay float32.
+    Same contract as `SilenceDetector.apply(vars, spec, num_frames,
+    train=False)` -> (B, frames) logits; `logits_packed` consumes the
+    packed (re, im) (B, T, F) spectra (see dsp.stft.stft_packed)."""
+
+    def __init__(self, cfg, variables: Dict,
+                 calibration_margin: float = 1.1):
+        self.cfg = cfg
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        self.enc = QuantEncoderParams(params, stats, "conv",
+                                      len(cfg.kernel_sizes),
+                                      proj_name="proj")
+        self.head_params = {"lstm": params["lstm"], "fc1": params["fc1"],
+                            "fc2": params["fc2"]}
+        self.margin = calibration_margin
+        self._calibrated = False
+
+    def _specs(self):
+        return list(zip(self.cfg.kernel_sizes, self.cfg.dilations)) \
+            + [((1, 1), (1, 1))]
+
+    def calibrate(self, sample_specs: List[jnp.ndarray]) -> None:
+        """sample_specs: [(B, F, T, 2) mixed spectrograms]."""
+        maxes = None
+        for spec in sample_specs:
+            m = _run_encoder_float_maxes(self.enc, self._specs(), spec)
+            maxes = m if maxes is None else [max(a, b)
+                                             for a, b in zip(maxes, m)]
+        self.enc.act_scales = [m * self.margin / 127.0 + 1e-12
+                               for m in maxes]
+        self._calibrated = True
+
+    def _head(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+        from sos_tpu.ops.resize import nearest_resize_1d
+
+        cfg = self.cfg
+        bsz, f, t, c = x.shape
+        x = jnp.transpose(x, (0, 2, 3, 1)).reshape(bsz, t, c * f)
+        x = nearest_resize_1d(x, num_frames, axis=1).astype(jnp.float32)
+        x = BiLSTM(hidden=cfg.lstm_hidden).apply(
+            {"params": self.head_params["lstm"]}, x)
+        x = jax.nn.relu(TorchLinear(cfg.fc_hidden).apply(
+            {"params": self.head_params["fc1"]}, x))
+        x = TorchLinear(1).apply({"params": self.head_params["fc2"]}, x)
+        return x[..., 0]
+
+    def __call__(self, spec: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+        assert self._calibrated, "call calibrate() before the first forward"
+        h = _run_encoder_int8(self.enc, self._specs(), spec)
+        return self._head(h, num_frames)
+
+    def logits_packed(self, re: jnp.ndarray, im: jnp.ndarray,
+                      num_frames: int) -> jnp.ndarray:
+        assert self._calibrated, "call calibrate() before the first forward"
+        x = jnp.swapaxes(jnp.stack([re, im], axis=1), -1, -2)  # (B,2,F,T)
+        h = _run_encoder_int8(self.enc, self._specs(), x, packed=True)
+        return self._head(h, num_frames)

@@ -126,3 +126,58 @@ def test_bf16_inpaint_mode(setup):
     _, ref_crm = model.apply(v, x, y, train=False)
     _, qc = jax.jit(q.__call__)(x, y)
     assert float(jnp.abs(qc - ref_crm).max()) < 5e-3
+
+
+def test_quantized_detector_drift_and_packed(setup):
+    """Detector int8 trunk: bounded prob drift vs f32, packed entry
+    bit-identical to NHWC."""
+    from sos_tpu.config import DetectorModelConfig
+    from sos_tpu.models import SilenceDetector
+    from sos_tpu.models.quant import QuantizedDetector
+
+    cfg = DetectorModelConfig(nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
+                              dilations=((1, 1), (2, 2)),
+                              lstm_hidden=4, fc_hidden=4)
+    model = SilenceDetector(cfg)
+    x = jr.normal(jr.PRNGKey(3), (2, 256, 64, 2)) * 0.3
+    v = model.init(jr.PRNGKey(4), x)
+    ref = np.asarray(model.apply(v, x, num_frames=40))
+    q = QuantizedDetector(cfg, v)
+    q.calibrate([x])
+    got = np.asarray(jax.jit(lambda s: q(s, 40))(x))
+    p_ref = 1 / (1 + np.exp(-ref))
+    p_q = 1 / (1 + np.exp(-got))
+    assert np.abs(p_ref - p_q).max() < 5e-3  # measured ~1e-4
+    re = jnp.swapaxes(x[..., 0], -1, -2)
+    im = jnp.swapaxes(x[..., 1], -1, -2)
+    gp = np.asarray(jax.jit(lambda r, i: q.logits_packed(r, i, 40))(re, im))
+    np.testing.assert_array_equal(gp, got)
+
+
+def test_fused_pipeline_int8_profile(setup):
+    """End-to-end int8 fused pipeline (quant detector + quant denoiser)
+    produces finite audio + bits close to the f32 pipeline's."""
+    from sos_tpu.config import (DataConfig, DetectorModelConfig,
+                                ExperimentConfig)
+    from sos_tpu.infer.fused import FusedDenoisePipeline
+    from sos_tpu.models import SilenceDetector
+
+    cfg_d, model, v, x, y = setup
+    det_cfg = DetectorModelConfig(nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
+                                  dilations=((1, 1), (2, 2)),
+                                  lstm_hidden=4, fc_hidden=4)
+    cfg = ExperimentConfig(detector=det_cfg, denoiser=cfg_d,
+                           data=DataConfig())
+    det = SilenceDetector(det_cfg)
+    dummy = jnp.zeros((1, 256, 90, 2))
+    dv = det.init(jr.PRNGKey(9), dummy)
+    mixed = jr.normal(jr.PRNGKey(10), (2, 28000)) * 0.2
+
+    f32 = FusedDenoisePipeline(cfg, dv, v, profile="f32")
+    out_f, bits_f = f32(mixed)
+    q = FusedDenoisePipeline(cfg, dv, v, profile="int8")
+    out_q, bits_q = q(mixed)
+    assert np.isfinite(np.asarray(out_q)).all()
+    assert np.asarray(out_q).shape == np.asarray(out_f).shape
+    # bits may differ only where f32 confidence sits at the threshold
+    assert np.mean(np.asarray(bits_f) != np.asarray(bits_q)) <= 0.05
