@@ -410,12 +410,48 @@ def evaluate_denoiser(
             outs_all.extend(zip(idxs, outs))
         outs_by_item = dict(outs_all)
 
+    # Metric suite in a thread pool: WSS/LLR/PESQ per utterance are the
+    # host bottleneck once inference is batched (numpy releases the GIL;
+    # the reference computes them serially, m2 predict.py:455-466).
+    _metrics_by_item: Dict[int, OrderedDict] = {}
+    if not unknown_clean_signal and files:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if use_batched:
+            outs_cache = outs_by_item
+        else:
+            outs_cache = {i: predictor.denoise_waveform(
+                mixed_all[i], files[i]["recovered_prediction"],
+                framerate=files[i]["framerate"]) for i in range(len(files))}
+
+        def _one_metrics(i):
+            data = files[i]
+            clean, _ = audio_io.load(
+                os.path.join(base_dir, data["clean_audio"]), sr=sr)
+            gt_mask = bitstream_to_sample_mask_np(
+                np.asarray([0 if c == "0" else 1
+                            for c in data["bit_stream"]], np.float32),
+                float(sr) / data["framerate"], len(clean),
+                cfg.data.despeckle_min_run)
+            clean = clean * (1 - gt_mask)
+            denoised = outs_cache[i]["denoised"]
+            out_16k = audio_io.resample(denoised, sr, metrics_sr)
+            clean_16k = audio_io.resample(clean[: len(denoised)], sr,
+                                          metrics_sr)
+            return i, evaluate_metrics(out_16k, clean_16k, sr=metrics_sr)
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for i, m in pool.map(_one_metrics, range(len(files))):
+                _metrics_by_item[i] = m
+
     stat: List[OrderedDict] = []
     for item_idx, data in enumerate(files):
         mixed_path = mixed_paths[item_idx]
         mixed = mixed_all[item_idx]
         bits = data["recovered_prediction"]
-        if use_batched:
+        if not unknown_clean_signal:
+            outs = outs_cache[item_idx]
+        elif use_batched:
             outs = outs_by_item[item_idx]
         else:
             outs = predictor.denoise_waveform(mixed, bits,
@@ -441,9 +477,7 @@ def evaluate_denoiser(
             info["bitstream"] = bits
             info["sr"] = sr
             info["snr"] = snr
-            out_16k = audio_io.resample(denoised, sr, metrics_sr)
-            clean_16k = audio_io.resample(clean[: len(denoised)], sr, metrics_sr)
-            info.update(evaluate_metrics(out_16k, clean_16k, sr=metrics_sr))
+            info.update(_metrics_by_item[item_idx])
         else:
             info["mixed_audio_path"] = mixed_path
             info["bitstream"] = bits

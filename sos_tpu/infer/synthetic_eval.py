@@ -100,10 +100,17 @@ def evaluate_synthetic(
             jnp.asarray(batch["bits"]))
         denoised = np.asarray(denoised)
         clean_sig = np.asarray(clean_sig)
-        for i in range(denoised.shape[0]):
+
+        def _one(i):
             out_16k = audio_io.resample(denoised[i], sr, metrics_sr)
             ref_16k = audio_io.resample(clean_sig[i], sr, metrics_sr)
-            per_clip.append(evaluate_metrics(out_16k, ref_16k, sr=metrics_sr))
+            return evaluate_metrics(out_16k, ref_16k, sr=metrics_sr)
+
+        # host metric suite threads well (numpy releases the GIL)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            per_clip.extend(pool.map(_one, range(denoised.shape[0])))
 
     agg = OrderedDict()
     agg["num_clips"] = len(per_clip)
