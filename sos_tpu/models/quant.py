@@ -1,23 +1,38 @@
 """Int8 post-training quantization for the denoiser's conv trunks.
 
-The ContextAggNet encoders are ~75-80% of denoising inference time
-(m2 networks.py:61-80 — 14 dilated 5x5 conv blocks at 96/48 channels over
-a 256x178 spectrogram: ~370 GFLOP per 2 s clip). Measured on v5e, XLA's
-int8 conv path runs at ~280 TOPS vs ~137 TFLOP/s for bf16 — 2.04x — so
-the int8 profile quantizes exactly that trunk and nothing else:
+The ContextAggNet encoders + InpaintNet are ~95% of denoising inference
+FLOPs (m2 networks.py:61-80,152-205 — dilated 5x5 conv blocks at 96/64
+channels over a 256x178 spectrogram plus a U-Net). Measured on v5e, XLA's
+int8 conv path runs the 96-channel blocks at effectively the full 394-TOPS
+MXU peak (including its internal per-tap lane padding), ~2x bf16 — so the
+int8 profile quantizes the conv trunks and keeps the precision-sensitive
+LSTM/FC mask head float32.
+
+Scheme (int8-RESIDENT activations, v2):
 
 * BatchNorm folds into the conv (inference-only affine), giving per-block
-  (kernel, bias);
-* weights: symmetric per-OUTPUT-CHANNEL int8 (scale = max|w_c| / 127);
+  folded float (kernel, bias);
+* every quantized block CONSUMES int8 and EMITS int8: the requantize step
+  (dequant + bias + ReLU/PReLU + quant) is a pure elementwise epilogue XLA
+  fuses into the conv, so only int8 tensors cross HBM between blocks.
+  Measured motivation: the InpaintNet's full-resolution junctions
+  (resize + skip-concat + quantize) moved multi-GB float32 activations —
+  int8-early junctions cut the up1 junction cost ~40% on v5e;
+* per-input-channel scale folding: a block whose input is a CONCAT of two
+  producers with different activation scales folds the per-channel scale
+  vector into the float kernel BEFORE weight quantization
+  (w_eff[..,c,:] = w_f[..,c,:] * s_in[c]), so mixed-scale concats need no
+  runtime rescaling pass;
+* weights: symmetric per-OUTPUT-CHANNEL int8 over the folded kernel
+  (scale = max|w_eff_c| / 127);
 * activations: symmetric per-TENSOR int8 with STATIC scales calibrated
-  offline (max|x| over calibration batches * margin / 127) — static
-  scales keep the requantize step a pure elementwise epilogue XLA fuses
-  into the conv, with no extra reduction pass over the 1-2 GB activation;
-* the accumulation is int32 on the MXU; dequant + bias + ReLU + requant
-  run fused;
-* everything downstream of the trunks (BiLSTM, FC mask head, InpaintNet,
-  STFT/iSTFT) stays float32/bf16 — the mask head feeds the cRM inversion
-  and is precision-sensitive.
+  offline (max|out| over calibration batches * margin / 127) — static
+  scales keep every epilogue shape-free of reductions;
+* ReLU/PReLU commute with the positive requant scaling
+  (prelu(k*x) = k*prelu(x) for k>0), so the epilogue folds 1/s_out into
+  the dequant scale and bias — one fused multiply-add-act-round chain;
+* accumulation is int32 on the MXU;
+* the BiLSTM/FC mask head and the InpaintNet output head stay float32.
 
 Quality is certified per-checkpoint by measurement, not assumption: see
 tests/test_quant.py (mask drift bound vs f32) and bench.py (reports f32 /
@@ -26,7 +41,7 @@ bf16 / int8 profiles side by side).
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +77,18 @@ def quantize_weight(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return w_q, scale.astype(np.float32)
 
 
+def _quantize_weight_folded(w_f: np.ndarray, s_in) -> Tuple[np.ndarray,
+                                                            np.ndarray]:
+    """Quantize with the input activation scale(s) folded into the kernel.
+
+    s_in: scalar, or per-input-channel vector (Cin,) for concat inputs.
+    Reconstruction: conv(x_q, w_q) * w_s ~= conv(x_q * s_in, w_f).
+    """
+    s_vec = np.broadcast_to(np.asarray(s_in, np.float64), (w_f.shape[2],))
+    w_eff = np.asarray(w_f, np.float64) * s_vec[None, None, :, None]
+    return quantize_weight(w_eff.astype(np.float32))
+
+
 def _block_tree(params: Dict, stats: Dict, name: str):
     p = params[name]
     bn = p["TorchBatchNorm_0"]["BatchNorm_0"]
@@ -71,20 +98,39 @@ def _block_tree(params: Dict, stats: Dict, name: str):
             np.asarray(s["var"]))
 
 
+def _quantize_act(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+
+
 class QuantEncoderParams:
-    """Folded + int8-quantized parameters for one encoder stack."""
+    """Folded parameters for one encoder stack (float until `finalize`)."""
 
     def __init__(self, params: Dict, stats: Dict, prefix: str,
                  n_blocks: int, proj_name: str = None):
-        self.blocks: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = []
-        names = [f"{prefix}{i}" for i in range(n_blocks)] +             [proj_name or f"{prefix}proj"]
+        self.blocks_f: List[Tuple[np.ndarray, np.ndarray]] = []
+        names = [f"{prefix}{i}" for i in range(n_blocks)] + \
+            [proj_name or f"{prefix}proj"]
         for name in names:
             w_f, b_f = fold_conv_bn(*_block_tree(params, stats, name))
-            w_q, w_s = quantize_weight(w_f)
-            self.blocks.append((jnp.asarray(w_q), jnp.asarray(w_s),
-                                jnp.asarray(b_f.astype(np.float32))))
-        # per-block input activation scales; filled by calibration
+            self.blocks_f.append((w_f, b_f.astype(np.float32)))
+        # act_scales[i] = input scale of block i (== output scale of
+        # block i-1); filled by calibration, consumed by finalize().
         self.act_scales: List[float] = [1.0] * len(names)
+        # finalized: (w_q, dequant_scale, bias, requant) per block
+        self.blocks: List[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                bool]] = []
+
+    def finalize(self) -> None:
+        self.blocks = []
+        n = len(self.blocks_f)
+        for i, (w_f, b_f) in enumerate(self.blocks_f):
+            w_q, w_s = _quantize_weight_folded(w_f, self.act_scales[i])
+            requant = i + 1 < n
+            if requant:
+                s_out = self.act_scales[i + 1]
+                w_s, b_f = w_s / s_out, b_f / s_out
+            self.blocks.append((jnp.asarray(w_q), jnp.asarray(w_s),
+                                jnp.asarray(b_f.astype(np.float32)), requant))
 
 
 def _conv_same(x: jnp.ndarray, w: jnp.ndarray, dilation: Tuple[int, int],
@@ -101,29 +147,26 @@ def _conv_same(x: jnp.ndarray, w: jnp.ndarray, dilation: Tuple[int, int],
         preferred_element_type=acc_dtype)
 
 
-def _conv_int8(x_q: jnp.ndarray, w_q: jnp.ndarray,
-               dilation: Tuple[int, int], ks: Tuple[int, int]) -> jnp.ndarray:
-    return _conv_same(x_q, w_q, dilation, ks, jnp.int32)
-
-
-def _quantize_act(x: jnp.ndarray, scale: float) -> jnp.ndarray:
-    return jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
-
-
 def _run_encoder_int8(enc: "QuantEncoderParams", specs, x: jnp.ndarray,
                       packed: bool = False) -> jnp.ndarray:
-    """Shared int8 conv-trunk runner (ContextAggNet encoders + detector
+    """Int8-resident conv-trunk runner (ContextAggNet encoders + detector
     trunk). `packed=True`: x is (B, 2, F, T); the first conv consumes it
-    via an NCHW lhs spec. Returns NHWC activations of the proj block."""
-    h = x.astype(jnp.float32)
-    for i, ((w_q, w_s, b), (ks, dil), s_in) in enumerate(
-            zip(enc.blocks, specs, enc.act_scales)):
-        h_q = _quantize_act(h, s_in)
+    via an NCHW lhs spec. Returns float32 NHWC activations of the proj
+    block (the only f32 tensor: it feeds the float head)."""
+    assert enc.blocks, "finalize() must run before the first forward"
+    h_q = _quantize_act(x.astype(jnp.float32), enc.act_scales[0])
+    h = None
+    for i, ((w_q, w_s, b, requant), (ks, dil)) in enumerate(
+            zip(enc.blocks, specs)):
         lhs = "NCHW" if (packed and i == 0) else "NHWC"
         acc = _conv_same(h_q, w_q, dil, ks, jnp.int32, lhs_spec=lhs)
-        h = jnp.maximum(
-            acc.astype(jnp.float32) * (s_in * w_s)[None, None, None, :]
-            + b, 0.0)
+        y = jnp.maximum(
+            acc.astype(jnp.float32) * w_s[None, None, None, :] + b, 0.0)
+        if requant:
+            # epilogue quant: 1/s_out already folded into w_s and b
+            h_q = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+        else:
+            h = y
     return h
 
 
@@ -132,12 +175,12 @@ def _run_encoder_float_maxes(enc: "QuantEncoderParams", specs,
                              ) -> List[float]:
     """Folded-float pass recording per-block input maxima (calibration)."""
     maxes = []
-    for i, ((w_q, w_s, b), (ks, dil)) in enumerate(zip(enc.blocks, specs)):
+    x = x.astype(jnp.float32)
+    for i, ((w_f, b_f), (ks, dil)) in enumerate(zip(enc.blocks_f, specs)):
         maxes.append(float(jnp.max(jnp.abs(x))))
-        w_f = w_q.astype(jnp.float32) * w_s[None, None, None, :]
         lhs = "NCHW" if (packed and i == 0) else "NHWC"
-        y = _conv_same(x.astype(jnp.float32), w_f, dil, ks, jnp.float32,
-                       lhs_spec=lhs) + b
+        y = _conv_same(x, jnp.asarray(w_f), dil, ks, jnp.float32,
+                       lhs_spec=lhs) + jnp.asarray(b_f)
         x = jnp.maximum(y, 0.0)
     return maxes
 
@@ -148,7 +191,8 @@ class QuantInpaintParams:
     Block geometry mirrors models/denoiser.py InpaintNet (incl. the
     reference's output_padding=1 ConvTranspose quirk and the nearest
     interpolate fix-ups). The final `out` block stays float32 (tiny,
-    64->2; it produces the noise_pred output directly).
+    64->2; it produces the noise_pred output directly) with its int8
+    input's dequant scale folded into the kernel.
     """
 
     # (name, kind, kernel, stride, dilation) in forward order
@@ -166,12 +210,26 @@ class QuantInpaintParams:
         ("up2_conv", "down", 3, 1, 1),
     ]
 
+    # Per-block input-scale composition (models/denoiser.py dataflow).
+    # A list means the input is a channel-concat of those producers'
+    # outputs in order, equal channel widths; "__gated__"/"__mixed__"
+    # are the two network inputs.
+    SCALE_SOURCES = {
+        "a_in": ["__gated__"], "a_d1": ["a_in"], "a_d2": ["a_d1"],
+        "b_in": ["__mixed__"], "b_d1": ["b_in"], "b_d2": ["b_d1"],
+        "mid0": ["a_d2", "b_d2"], "mid1": ["mid0"],
+        "mid_dil2": ["mid1"], "mid_dil4": ["mid_dil2"],
+        "mid_dil8": ["mid_dil4"], "mid_dil16": ["mid_dil8"],
+        "mid2": ["mid_dil16"], "mid3": ["mid2"], "mid_up": ["mid3"],
+        "up1_conv": ["mid_up", "b_d2"], "up1_up": ["up1_conv"],
+        "up2_conv": ["up1_up", "b_in"],
+    }
+
     def __init__(self, params: Dict, stats: Dict):
-        self.blocks: Dict[str, tuple] = {}
+        self.blocks_f: Dict[str, tuple] = {}
         for name, kind, k, s, d in self.SPEC:
             p = params[name]
-            bn = p["TorchBatchNorm_0"]["BatchNorm_0"] if kind == "down" \
-                else p["TorchBatchNorm_0"]["BatchNorm_0"]
+            bn = p["TorchBatchNorm_0"]["BatchNorm_0"]
             st = stats[name]["TorchBatchNorm_0"]["BatchNorm_0"]
             kernel = np.asarray(p["Conv_0"]["kernel"] if kind == "down"
                                 else p["kernel"])
@@ -179,15 +237,37 @@ class QuantInpaintParams:
                                     np.asarray(bn["bias"]),
                                     np.asarray(st["mean"]),
                                     np.asarray(st["var"]))
-            w_q, w_s = quantize_weight(w_f)
             alpha = float(np.asarray(p["act"]["alpha"]))
-            self.blocks[name] = (jnp.asarray(w_q), jnp.asarray(w_s),
-                                 jnp.asarray(b_f.astype(np.float32)), alpha)
-        # float32 output head
-        self.out_kernel = jnp.asarray(params["out"]["Conv_0"]["kernel"])
+            self.blocks_f[name] = (w_f, b_f.astype(np.float32), alpha)
+        self.out_kernel_f = np.asarray(params["out"]["Conv_0"]["kernel"])
         self.out_bias = jnp.asarray(params["out"]["Conv_0"]["bias"])
-        self.act_scales: Dict[str, float] = {name: 1.0
-                                             for name, *_ in self.SPEC}
+        # out_scales[name] = activation scale of that block's OUTPUT;
+        # plus "__gated__"/"__mixed__" input scales. Set by calibration.
+        self.out_scales: Dict[str, float] = {}
+        self.blocks: Dict[str, tuple] = {}
+        self.out_kernel: Optional[jnp.ndarray] = None
+
+    def finalize(self) -> None:
+        self.blocks = {}
+        for name, kind, k, s, d in self.SPEC:
+            w_f, b_f, alpha = self.blocks_f[name]
+            sources = self.SCALE_SOURCES[name]
+            cin = w_f.shape[2]
+            assert cin % len(sources) == 0, (name, cin, sources)
+            per = cin // len(sources)
+            s_in = np.repeat(np.asarray(
+                [self.out_scales[src] for src in sources], np.float64), per)
+            w_q, w_s = _quantize_weight_folded(w_f, s_in)
+            s_out = self.out_scales[name]
+            self.blocks[name] = (jnp.asarray(w_q),
+                                 jnp.asarray(w_s / s_out),
+                                 jnp.asarray((b_f / s_out)
+                                             .astype(np.float32)),
+                                 alpha)
+        # float output head: fold the int8 input's dequant scale in
+        self.out_kernel = jnp.asarray(
+            (self.out_kernel_f * self.out_scales["up2_conv"])
+            .astype(np.float32))
 
 
 _INPAINT_BY_NAME = {name: (kind, k, st, d)
@@ -199,11 +279,13 @@ class QuantizedDenoiser:
 
     Same call contract as `JointDenoiser.apply(variables, mixed, gated,
     train=False)` -> (noise_pred, compressed_crm); InpaintNet runs in
-    `inpaint_dtype` (default bf16 — its own drift is bounded by
-    tests/test_reference_parity.py), the LSTM/FC mask head in float32.
+    `inpaint_dtype` (default int8; "bfloat16" keeps it float — its own
+    drift is bounded by tests/test_reference_parity.py), the LSTM/FC mask
+    head in float32.
 
     `calibrate()` must run before the first forward (static activation
-    scales); it records per-block input maxima over calibration batches.
+    scales); it records per-block output maxima over calibration batches
+    then finalizes the folded int8 weights.
     """
 
     def __init__(self, cfg: DenoiserModelConfig, variables: Dict,
@@ -239,7 +321,9 @@ class QuantizedDenoiser:
     def _inpaint_geometry(self, gated, mixed, blk):
         """The InpaintNet dataflow with pluggable per-block op `blk` —
         written once so the int8 pass and the float calibration pass can
-        never diverge geometrically (models/denoiser.py InpaintNet)."""
+        never diverge geometrically (models/denoiser.py InpaintNet).
+        For the int8 pass, `gated`/`mixed` arrive PRE-QUANTIZED int8 and
+        every block emits int8 (int8-resident activations)."""
         from sos_tpu.ops.resize import nearest_resize_2d
 
         d1 = blk("a_in", gated)
@@ -258,11 +342,17 @@ class QuantizedDenoiser:
             x = nearest_resize_2d(x, d3.shape[1:3], h_axis=1, w_axis=2)
         x = jnp.concatenate([x, d3], axis=-1)
         x = blk("up2_conv", x)
-        xp = jnp.pad(x.astype(jnp.float32),
-                     ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        # pad in the narrow dtype (int8 for the quantized pass), convert
+        # at the conv input where XLA fuses it
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     mode="reflect").astype(jnp.float32)
         out_spec = "NCHW" if self._packed else "NHWC"
+        # float head; for the int8 pass the input dequant scale is folded
+        # into out_kernel by finalize()
+        kernel = (self.qinpaint.out_kernel if x.dtype == jnp.int8
+                  else jnp.asarray(self.qinpaint.out_kernel_f))
         y = jax.lax.conv_general_dilated(
-            xp, self.qinpaint.out_kernel, (1, 1), "VALID",
+            xp, kernel, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", out_spec),
             preferred_element_type=jnp.float32)
         bias = self.qinpaint.out_bias
@@ -274,11 +364,11 @@ class QuantizedDenoiser:
         pad_amt = k - 1 - p
         return pad_amt, pad_amt + 1  # output_padding=1 (reference quirk)
 
-    def _inpaint_block_int8(self, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    def _inpaint_block_int8(self, name: str, x_q: jnp.ndarray) -> jnp.ndarray:
+        """Consumes int8 (producer-scaled), emits int8 (own out scale)."""
         qp = self.qinpaint
         kind, k, s, d = _INPAINT_BY_NAME[name]
         w_q, w_s, b, alpha = qp.blocks[name]
-        x_q = _quantize_act(x, qp.act_scales[name])
         packed_in = self._packed and name in ("a_in", "b_in")
         if kind == "down":
             pad = (k - 1) // 2 * d
@@ -299,16 +389,18 @@ class QuantizedDenoiser:
                 lhs_dilation=(s, s),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
-        y = acc.astype(jnp.float32) * (qp.act_scales[name] * w_s) + b
-        return jnp.where(y >= 0, y, alpha * y)
+        # fused epilogue: dequant+bias (1/s_out pre-folded), PReLU, requant
+        y = acc.astype(jnp.float32) * w_s + b
+        y = jnp.where(y >= 0, y, alpha * y)
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
 
     def _inpaint_block_float(self, name: str, x: jnp.ndarray,
                              record: Dict) -> jnp.ndarray:
+        """Folded-float block recording OUTPUT maxima (calibration)."""
         qp = self.qinpaint
         kind, k, s, d = _INPAINT_BY_NAME[name]
-        w_q, w_s, b, alpha = qp.blocks[name]
-        record[name] = max(record.get(name, 0.0), float(jnp.max(jnp.abs(x))))
-        w_f = w_q.astype(jnp.float32) * w_s[None, None, None, :]
+        w_f, b, alpha = qp.blocks_f[name]
+        w_f = jnp.asarray(w_f)
         x = x.astype(jnp.float32)
         packed_in = self._packed and name in ("a_in", "b_in")
         if kind == "down":
@@ -330,11 +422,19 @@ class QuantizedDenoiser:
                 lhs_dilation=(s, s),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32)
-        y = y + b
-        return jnp.where(y >= 0, y, alpha * y)
+        y = y + jnp.asarray(b)
+        y = jnp.where(y >= 0, y, alpha * y)
+        record[name] = max(record.get(name, 0.0), float(jnp.max(jnp.abs(y))))
+        return y
 
     def _inpaint_int8(self, gated, mixed) -> jnp.ndarray:
-        return self._inpaint_geometry(gated, mixed, self._inpaint_block_int8)
+        qp = self.qinpaint
+        gated_q = _quantize_act(gated.astype(jnp.float32),
+                                qp.out_scales["__gated__"])
+        mixed_q = _quantize_act(mixed.astype(jnp.float32),
+                                qp.out_scales["__mixed__"])
+        return self._inpaint_geometry(gated_q, mixed_q,
+                                      self._inpaint_block_int8)
 
     # -- packed serving entry ---------------------------------------------
 
@@ -359,8 +459,7 @@ class QuantizedDenoiser:
         gated_p = pack(gated_re, gated_im)
         self._packed = True
         try:
-            noise_p = self._inpaint_geometry(gated_p, mixed_p,
-                                             self._inpaint_block_int8)
+            noise_p = self._inpaint_int8(gated_p, mixed_p)
             f_x = self._encoder_int8(self.enc_x, mixed_p, packed=True)
             f_n = self._encoder_int8(self.enc_n, noise_p, packed=True)
         finally:
@@ -392,6 +491,12 @@ class QuantizedDenoiser:
         inpaint_rec: Dict[str, float] = {}
         for mixed, gated in sample_batches:
             if self.inpaint_mode == "int8":
+                inpaint_rec["__gated__"] = max(
+                    inpaint_rec.get("__gated__", 0.0),
+                    float(jnp.max(jnp.abs(gated))))
+                inpaint_rec["__mixed__"] = max(
+                    inpaint_rec.get("__mixed__", 0.0),
+                    float(jnp.max(jnp.abs(mixed))))
                 noise_pred = self._inpaint_geometry(
                     gated, mixed,
                     lambda nm, x: self._inpaint_block_float(nm, x,
@@ -405,14 +510,15 @@ class QuantizedDenoiser:
                                                   in zip(maxes_x, mx)]
             maxes_n = mn if maxes_n is None else [max(a, b) for a, b
                                                   in zip(maxes_n, mn)]
-        self.enc_x.act_scales = [m * self.margin / 127.0 + 1e-12
-                                 for m in maxes_x]
-        self.enc_n.act_scales = [m * self.margin / 127.0 + 1e-12
-                                 for m in maxes_n]
+        to_scale = lambda m: m * self.margin / 127.0 + 1e-12
+        self.enc_x.act_scales = [to_scale(m) for m in maxes_x]
+        self.enc_n.act_scales = [to_scale(m) for m in maxes_n]
+        self.enc_x.finalize()
+        self.enc_n.finalize()
         if self.inpaint_mode == "int8":
-            self.qinpaint.act_scales = {
-                name: m * self.margin / 127.0 + 1e-12
-                for name, m in inpaint_rec.items()}
+            self.qinpaint.out_scales = {name: to_scale(m)
+                                        for name, m in inpaint_rec.items()}
+            self.qinpaint.finalize()
         self._calibrated = True
 
     # -- forward ---------------------------------------------------------
@@ -487,6 +593,7 @@ class QuantizedDetector:
                                              for a, b in zip(maxes, m)]
         self.enc.act_scales = [m * self.margin / 127.0 + 1e-12
                                for m in maxes]
+        self.enc.finalize()
         self._calibrated = True
 
     def _head(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
