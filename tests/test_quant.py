@@ -181,3 +181,20 @@ def test_fused_pipeline_int8_profile(setup):
     assert np.asarray(out_q).shape == np.asarray(out_f).shape
     # bits may differ only where f32 confidence sits at the threshold
     assert np.mean(np.asarray(bits_f) != np.asarray(bits_q)) <= 0.05
+
+
+def test_odd_time_length_drift(setup):
+    """Odd T (no bucket padding) keeps the quantized drift bound."""
+    cfg = DenoiserModelConfig(
+        nf_mixed=8, nf_noise=4, outf_mixed=4, outf_noise=2,
+        kernel_sizes=((1, 7), (5, 5)), dilations=((1, 1), (4, 1)),
+        lstm_hidden=8, fc_hidden=16, inpaint_ch=(4, 6, 8))
+    model = JointDenoiser(cfg)
+    x = jr.normal(jr.PRNGKey(14), (2, 256, 63, 2)) * 0.3  # odd T
+    y = jr.normal(jr.PRNGKey(15), (2, 256, 63, 2)) * 0.3
+    v = model.init(jr.PRNGKey(16), x, x)
+    ref_noise, ref_crm = model.apply(v, x, y, train=False)
+    q = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")
+    q.calibrate([(x, y)])
+    qn, qc = jax.jit(q.__call__)(x, y)
+    assert float(jnp.abs(qc - ref_crm).max()) < 5e-3
