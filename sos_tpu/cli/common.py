@@ -26,9 +26,13 @@ def experiment_dirs(cfg: ExperimentConfig, stage: str) -> Tuple[str, str, str]:
 def add_common_train_args(parser: argparse.ArgumentParser,
                           need_dataset: bool = True) -> None:
     parser.add_argument("--continue", dest="cont", action="store_true",
-                        help="continue training from checkpoint (epoch-"
-                             "granular: a mid-epoch checkpoint resumes "
-                             "from the top of that epoch's batch order)")
+                        help="continue training from checkpoint; a "
+                             "mid-epoch checkpoint (see "
+                             "--save_step_frequency) resumes exactly at "
+                             "the next minibatch of that epoch")
+    parser.add_argument("--save_step_frequency", type=int, default=None,
+                        help="save a mid-epoch 'latest' checkpoint every "
+                             "N steps (0/unset = per-epoch only)")
     parser.add_argument("--ckpt", type=str, default="latest",
                         help="checkpoint to restore ('latest' or epoch number)")
     parser.add_argument("--dataset_json", type=str, required=need_dataset,
@@ -85,6 +89,8 @@ def config_from_args(args, stage: str) -> ExperimentConfig:
         train_kw["batch_size"] = 40  # m2 common.py:52
     if getattr(args, "lr", None) is not None:
         train_kw["lr"] = args.lr
+    if getattr(args, "save_step_frequency", None) is not None:
+        train_kw["save_step_frequency"] = args.save_step_frequency
     if train_kw:
         import dataclasses
         base = dataclasses.replace(

@@ -161,6 +161,10 @@ class TrainConfig:
     lr_step_size: int = 15          # StepLR period in epochs
     lr_gamma: float = 0.1           # torch StepLR default gamma
     save_frequency: int = 1         # epochs
+    # steps between mid-epoch `latest` checkpoints (0 = only per-epoch).
+    # A checkpoint saved mid-epoch resumes EXACTLY: fit() replays the
+    # epoch's deterministic batch order and skips the completed batches.
+    save_step_frequency: int = 0
     val_frequency: int = 10         # steps
     visualize_frequency: int = 100  # steps
     seed: int = 0

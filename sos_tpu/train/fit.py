@@ -17,6 +17,7 @@ the jitted step (mix+STFT+model+grads+update, one XLA program) runs SPMD.
 
 from __future__ import annotations
 
+import itertools
 import logging
 import os
 from typing import Callable, Dict, Optional
@@ -82,15 +83,26 @@ def fit(
     has_val = len(val_batcher) > 0
     val_iter = cycle(lambda: iter(val_batcher)) if has_val else None
 
+    start_epoch, start_minibatch = clock.epoch, clock.minibatch
     with mesh:
         state = jax.device_put(state, replicated(mesh))
-        for epoch in range(clock.epoch, cfg.train.nr_epochs):
+        for epoch in range(start_epoch, cfg.train.nr_epochs):
             train_batcher.set_epoch(epoch)
             # Background prefetch: the next batch assembles on a host
             # thread while the device runs the current step (the
             # reference's 60-worker DataLoader, collapsed to what this
             # pipeline actually needs — assembly is indexing + memcpy).
-            for batch in prefetch(train_batcher, depth=2):
+            src = iter(train_batcher)
+            if epoch == start_epoch and start_minibatch:
+                # exact mid-epoch resume: the batch order is epoch-seeded
+                # and deterministic, so skipping the completed minibatches
+                # continues the run bit-for-bit (assembly of the skipped
+                # batches is indexing-only; no device work)
+                logging.getLogger(__name__).info(
+                    "resuming epoch %d at minibatch %d", epoch,
+                    start_minibatch)
+                src = itertools.islice(src, start_minibatch, None)
+            for batch in prefetch(src, depth=2):
                 if profile_dir and clock.step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
                 if profile_dir and clock.step == profile_steps[1]:
@@ -115,6 +127,9 @@ def fit(
                         and clock.step % cfg.train.visualize_frequency == 0):
                     visualize_hook(train_tb, state, batch, clock.step)
                 clock.tick()
+                if (cfg.train.save_step_frequency
+                        and clock.step % cfg.train.save_step_frequency == 0):
+                    mgr.save(state, clock, "latest")
             clock.tock()
 
             # full validation pass

@@ -223,3 +223,89 @@ def test_joint_step_sharded():
         den_state = jax.device_put(den_state, rep)
         _, _, metrics = step(det_state, den_state, sharded)
     assert np.isfinite(float(metrics["denoiser_loss"]))
+
+
+class _FakeBatcher:
+    """Deterministic epoch-seeded batcher with the fit() protocol."""
+
+    def __init__(self, cfg, n_batches=6, batch=2):
+        self.cfg, self.n, self.b = cfg, n_batches, batch
+        self.epoch = 0
+
+    def set_epoch(self, e):
+        self.epoch = e
+
+    def __len__(self):
+        return self.n
+
+    def __iter__(self):
+        for i in range(self.n):
+            yield _detector_batch(self.cfg, self.b,
+                                  seed=1000 * self.epoch + i)
+
+
+class _EmptyBatcher(_FakeBatcher):
+    def __init__(self):
+        self.n = 0
+
+    def set_epoch(self, e):
+        pass
+
+    def __iter__(self):
+        return iter(())
+
+
+def test_midepoch_resume_exact(tmp_path):
+    """A mid-epoch checkpoint (save_step_frequency) resumes bit-for-bit:
+    full run == 2 manual steps + resumed fit() on the same batch order."""
+    import dataclasses
+
+    from sos_tpu.train.checkpoints import CheckpointManager
+    from sos_tpu.train.fit import fit
+
+    cfg = tiny_detector_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, nr_epochs=1,
+                                       save_step_frequency=2))
+    n_batches = 5
+
+    def run_full():
+        model, state = init_detector_state(cfg, steps_per_epoch=n_batches)
+        step = make_detector_train_step(cfg, model, steps_per_epoch=n_batches)
+        ev = make_detector_eval_step(cfg, model)
+        d = str(tmp_path / "full")
+        fit(cfg, state, TrainClock(), step, ev, _FakeBatcher(cfg, n_batches),
+            _EmptyBatcher(), d, d, num_devices=1)
+        mgr = CheckpointManager(d)
+        _, blank = init_detector_state(cfg, steps_per_epoch=n_batches)
+        return mgr.load("latest", template=blank)
+
+    full_state, full_clock = run_full()
+    assert full_clock.step == n_batches
+
+    # interrupted run: 2 manual steps on the same epoch-0 batch order,
+    # then a mid-epoch checkpoint, then resume via fit()
+    model, state = init_detector_state(cfg, steps_per_epoch=n_batches)
+    step = make_detector_train_step(cfg, model, steps_per_epoch=n_batches)
+    ev = make_detector_eval_step(cfg, model)
+    batcher = _FakeBatcher(cfg, n_batches)
+    batcher.set_epoch(0)
+    it = iter(batcher)
+    for _ in range(2):
+        state, _ = step(state, next(it))
+    d2 = str(tmp_path / "resumed")
+    mgr2 = CheckpointManager(d2)
+    mgr2.save(state, TrainClock(epoch=0, minibatch=2, step=2), "latest")
+
+    _, blank = init_detector_state(cfg, steps_per_epoch=n_batches)
+    state2, clock2 = mgr2.load("latest", template=blank)
+    assert clock2.minibatch == 2
+    fit(cfg, state2, clock2, step, ev, _FakeBatcher(cfg, n_batches),
+        _EmptyBatcher(), d2, d2, num_devices=1)
+    resumed_state, resumed_clock = mgr2.load("latest", template=blank)
+
+    assert resumed_clock.step == full_clock.step
+    for a, b in zip(jax.tree.leaves(resumed_state.params),
+                    jax.tree.leaves(full_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
