@@ -49,6 +49,46 @@ def add_common_train_args(parser: argparse.ArgumentParser,
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--num_devices", type=int, default=None,
                         help="data-parallel device count (default: all)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host SPMD: bring up jax.distributed "
+                             "(env-driven on TPU pods) and shard data "
+                             "per host")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address host:port (multi-host "
+                             "off-pod; implies --distributed)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
+
+
+def setup_distributed(args) -> Tuple[int, int]:
+    """Optionally bring up multi-host jax.distributed; returns
+    (process_index, process_count). Call BEFORE any device use so the
+    backend initializes with the global topology. Training CLIs then
+    shard their batchers per host and divide the global batch size."""
+    if getattr(args, "distributed", False) or getattr(args, "coordinator",
+                                                      None):
+        from sos_tpu.parallel import distributed
+
+        distributed.initialize(getattr(args, "coordinator", None),
+                               getattr(args, "num_processes", None),
+                               getattr(args, "process_id", None))
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def shard_batchers_for_host(train_b, test_b, cfg, pid: int, nproc: int):
+    """Per-host data sharding: disjoint balanced window shards + the
+    per-host slice of the global batch size."""
+    if nproc <= 1:
+        return train_b, test_b
+    from sos_tpu.parallel.distributed import process_local_batch_size
+
+    local_bs = process_local_batch_size(cfg.train.batch_size)
+    for b in (train_b, test_b):
+        b.shard(pid, nproc)
+        b.batch_size = local_bs
+    return train_b, test_b
 
 
 def enable_compile_cache(path: str = None) -> None:

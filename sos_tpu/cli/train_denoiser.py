@@ -11,7 +11,9 @@ Adam + StepLR(15).
 
 import argparse
 
-from sos_tpu.cli.common import add_common_train_args, config_from_args, experiment_dirs
+from sos_tpu.cli.common import (add_common_train_args, config_from_args,
+                                experiment_dirs, setup_distributed,
+                                shard_batchers_for_host)
 from sos_tpu.data import DenoiserBatcher, DatasetIndex, NoiseBank, denoiser_windows
 from sos_tpu.data.windows import subsample_windows
 from sos_tpu.train.checkpoints import CheckpointManager
@@ -28,6 +30,7 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_train_args(parser)
     args = parser.parse_args()
+    pid, nproc = setup_distributed(args)
     cfg = config_from_args(args, stage="denoiser")
     _, log_dir, model_dir = experiment_dirs(cfg, "denoiser")
 
@@ -49,6 +52,7 @@ def main() -> None:
                              cfg.train.batch_size, shuffle=False,
                              seed=cfg.train.seed + 1)
 
+    train_b, test_b = shard_batchers_for_host(train_b, test_b, cfg, pid, nproc)
     steps_per_epoch = max(1, len(train_b))
     model, state = init_denoiser_state(cfg, steps_per_epoch)
     clock = TrainClock()

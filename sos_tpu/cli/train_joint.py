@@ -14,7 +14,8 @@ import argparse
 
 import jax
 
-from sos_tpu.cli.common import add_common_train_args, config_from_args, experiment_dirs
+from sos_tpu.cli.common import (add_common_train_args, config_from_args,
+                                experiment_dirs, setup_distributed)
 from sos_tpu.data import DenoiserBatcher, DatasetIndex, NoiseBank, denoiser_windows
 from sos_tpu.parallel import make_mesh, replicated, shard_batch
 from sos_tpu.train.checkpoints import CheckpointManager
@@ -26,6 +27,7 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_train_args(parser)
     args = parser.parse_args()
+    pid, nproc = setup_distributed(args)
     cfg = config_from_args(args, stage="joint")
     _, _, det_model_dir = experiment_dirs(cfg, "detector")
     _, _, den_model_dir = experiment_dirs(cfg, "denoiser")
@@ -36,6 +38,11 @@ def main() -> None:
                                cfg.data.overlap_seconds)
     batcher = DenoiserBatcher(windows, noise, cfg.data, cfg.train.batch_size,
                               shuffle=True, seed=cfg.train.seed)
+    if nproc > 1:
+        from sos_tpu.parallel.distributed import process_local_batch_size
+
+        batcher.shard(pid, nproc)
+        batcher.batch_size = process_local_batch_size(cfg.train.batch_size)
     steps_per_epoch = max(1, len(batcher))
 
     (det_model, det_state), (den_model, den_state) = init_joint_states(
@@ -48,12 +55,13 @@ def main() -> None:
     num_devices = args.num_devices
     if num_devices is None:
         num_devices = len(jax.devices())
-        while cfg.train.batch_size % num_devices:
+        while nproc == 1 and cfg.train.batch_size % num_devices:
             num_devices -= 1
     mesh = make_mesh(num_devices=num_devices)
+    from sos_tpu.parallel import distributed
     with mesh:
-        det_state = jax.device_put(det_state, replicated(mesh))
-        den_state = jax.device_put(den_state, replicated(mesh))
+        det_state = distributed.replicate(det_state, replicated(mesh))
+        den_state = distributed.replicate(den_state, replicated(mesh))
         for epoch in range(cfg.train.nr_epochs):
             batcher.set_epoch(epoch)
             for batch in batcher:

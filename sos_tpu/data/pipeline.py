@@ -162,10 +162,13 @@ class _BatcherBase:
     def shard(self, host_id: int, num_hosts: int) -> "_BatcherBase":
         """Per-host window sharding for multi-host SPMD: host k keeps
         windows [k::num_hosts] (applied before the per-epoch shuffle so
-        every host shuffles its own disjoint subset). Returns self."""
+        every host shuffles its own disjoint subset), truncated so EVERY
+        host holds the same count — unequal per-host batch counts would
+        desynchronize the SPMD step loop. Returns self."""
         if not 0 <= host_id < num_hosts:
             raise ValueError(f"host_id {host_id} not in [0, {num_hosts})")
-        self.windows = self.windows[host_id::num_hosts]
+        keep = len(self.windows) // num_hosts
+        self.windows = self.windows[host_id::num_hosts][:keep]
         return self
 
     def _order(self) -> np.ndarray:

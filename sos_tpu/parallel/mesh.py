@@ -46,6 +46,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch dict onto the mesh, sharded along dim 0."""
+    """Place a host batch dict onto the mesh, sharded along dim 0.
+
+    Multi-process: `batch` is this host's LOCAL shard of the global batch
+    (per-host batchers via `batcher.shard()`); the global array assembles
+    from all hosts' shards without any host-side gather."""
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -33,12 +33,20 @@ class CheckpointManager:
     # -- save ---------------------------------------------------------------
     def save(self, state: TrainState, clock: TrainClock, name: str) -> str:
         path = self._path(name)
-        tree = {
+        # Multi-host: the state is fully replicated (every leaf is fully
+        # addressable on every process), so only process 0 writes — the
+        # others would race on a shared filesystem.
+        if jax.process_index() != 0:
+            return path
+        # materialize to host numpy: fully-replicated global arrays are
+        # readable on any process, and orbax then needs no cross-host
+        # coordination protocol
+        tree = jax.tree.map(np.asarray, {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
-            "step": np.asarray(state.step),
-        }
+            "step": state.step,
+        })
         self._ckptr.save(path, tree, force=True)
         with open(path + ".clock.json", "w") as fp:
             json.dump(clock.to_dict(), fp)

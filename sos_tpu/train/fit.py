@@ -27,7 +27,7 @@ import numpy as np
 
 from sos_tpu.config import ExperimentConfig
 from sos_tpu.data.prefetch import prefetch
-from sos_tpu.parallel import make_mesh, shard_batch, replicated
+from sos_tpu.parallel import distributed, make_mesh, shard_batch, replicated
 from sos_tpu.train.checkpoints import CheckpointManager
 from sos_tpu.train.state import TrainClock, TrainState
 from sos_tpu.utils import StepTimer, cycle
@@ -64,15 +64,25 @@ def fit(
     jax.profiler trace of steps [profile_steps) — the observability the
     reference lacks entirely (SURVEY.md §5: 'tracing: none')."""
     if num_devices is None:
-        # largest device count that divides the batch (batch dim 0 shards)
-        num_devices = len(jax.devices())
-        while cfg.train.batch_size % num_devices:
-            num_devices -= 1
-        if num_devices < len(jax.devices()):
-            logging.getLogger(__name__).warning(
-                "batch_size=%d does not divide %d devices; training on %d "
-                "device(s). Pick a divisible batch to use the full mesh.",
-                cfg.train.batch_size, len(jax.devices()), num_devices)
+        if jax.process_count() > 1:
+            # multi-host SPMD: every process must build the SAME global
+            # mesh over ALL devices — no silent fallback possible
+            num_devices = len(jax.devices())
+            if cfg.train.batch_size % num_devices:
+                raise ValueError(
+                    f"multi-host: global batch {cfg.train.batch_size} must "
+                    f"divide the global device count {num_devices}")
+        else:
+            # largest device count that divides the batch (dim 0 shards)
+            num_devices = len(jax.devices())
+            while cfg.train.batch_size % num_devices:
+                num_devices -= 1
+            if num_devices < len(jax.devices()):
+                logging.getLogger(__name__).warning(
+                    "batch_size=%d does not divide %d devices; training on "
+                    "%d device(s). Pick a divisible batch to use the full "
+                    "mesh.", cfg.train.batch_size, len(jax.devices()),
+                    num_devices)
     mesh = make_mesh(num_devices=num_devices)
     mgr = CheckpointManager(model_dir)
     train_tb, val_tb = _writers(log_dir)
@@ -85,7 +95,7 @@ def fit(
 
     start_epoch, start_minibatch = clock.epoch, clock.minibatch
     with mesh:
-        state = jax.device_put(state, replicated(mesh))
+        state = distributed.replicate(state, replicated(mesh))
         for epoch in range(start_epoch, cfg.train.nr_epochs):
             train_batcher.set_epoch(epoch)
             # Background prefetch: the next batch assembles on a host

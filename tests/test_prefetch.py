@@ -89,8 +89,12 @@ def test_batcher_shard_partitions_windows(tmp_path):
         b = DenoiserBatcher(windows, bank, DataConfig(), batch_size=1,
                             shuffle=False).shard(h, 3)
         shards.append([w.start_sec for w in b.windows])
+    # balanced: every host holds exactly floor(10/3)=3 windows (the tail
+    # is dropped so per-host step counts match — unequal counts would
+    # desynchronize the multi-host SPMD loop), shards are disjoint
+    assert [len(s) for s in shards] == [3, 3, 3]
     flat = sorted(s for sh in shards for s in sh)
-    assert flat == [float(i) for i in range(10)]
+    assert len(set(flat)) == 9
     assert all(len(set(a) & set(b)) == 0
                for i, a in enumerate(shards) for b in shards[i + 1:])
     with pytest.raises(ValueError):
