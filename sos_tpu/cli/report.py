@@ -1,11 +1,16 @@
-"""Aggregate per-SNR eval results into metric-vs-SNR plots and a table.
+"""Aggregate per-SNR eval results into metric-vs-SNR plots and a table,
+and render training curves from the fit() metrics log.
 
 Usage:
     python -m sos_tpu.cli.report --results_dir outputs/ [--plot report.png]
+    python -m sos_tpu.cli.report --train_log <log_dir> \
+        [--train_plot curves.png]
 
-Equivalent of model_2 `draw_agg_stats.py` (:10-127): scans
-`eval_results_snr*.json`, tabulates the `denoise_statistics` averages per
-SNR and (optionally) renders one line plot per metric.
+Equivalent of model_2 `draw_agg_stats.py` (:10-127) for the per-SNR
+table/plots; the training-curve view renders the durable
+`metrics.jsonl` written by train/fit.py (train/val loss, steps/sec,
+epoch validation metrics) — the dashboard the reference only had via a
+live tensorboard process.
 """
 
 import argparse
@@ -35,11 +40,102 @@ def collect(results_dir: str) -> "OrderedDict[float, dict]":
     return OrderedDict(sorted(out.items()))
 
 
+def load_train_log(path: str):
+    """path: a metrics.jsonl file or the log dir containing it."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "metrics.jsonl")
+    rows = []
+    with open(path) as fp:
+        for line in fp:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def train_report(rows, plot_path=None) -> None:
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    train = by_kind.get("train", [])
+    val = by_kind.get("val", [])
+    epochs = by_kind.get("epoch", [])
+    if train:
+        last = train[-1]
+        keys = [k for k in last if k not in ("kind", "step", "epoch")]
+        print(f"train: {len(train)} logged steps, last step {last['step']}: "
+              + " ".join(f"{k}={last[k]:.5g}" for k in keys))
+    if epochs:
+        last = epochs[-1]
+        keys = [k for k in last if k not in ("kind", "step", "epoch")]
+        print(f"epoch {last['epoch']}: "
+              + " ".join(f"{k}={last[k]:.5g}" for k in keys))
+        for key in keys:
+            series = [(r["epoch"], r[key]) for r in epochs if key in r]
+            best = max(series, key=lambda t: t[1])
+            print(f"  best epoch_{key}: {best[1]:.5g} @ epoch {best[0]}")
+    if plot_path:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        metric_keys = []
+        for r in train + val:
+            for k in r:
+                if k not in ("kind", "step", "epoch") and k not in metric_keys:
+                    metric_keys.append(k)
+        epoch_keys = []
+        for r in epochs:
+            for k in r:
+                if k not in ("kind", "step", "epoch") and k not in epoch_keys:
+                    epoch_keys.append(k)
+        n = len(metric_keys) + len(epoch_keys)
+        cols = 3
+        rows_n = max(1, -(-n // cols))
+        fig, axes = plt.subplots(rows_n, cols,
+                                 figsize=(4 * cols, 3 * rows_n),
+                                 squeeze=False)
+        flat = axes.flat
+        for i, key in enumerate(metric_keys):
+            ax = flat[i]
+            for kind, series, style in (("train", train, "-"),
+                                        ("val", val, "--")):
+                pts = [(r["step"], r[key]) for r in series if key in r]
+                if pts:
+                    ax.plot(*zip(*pts), style, label=kind, alpha=0.8)
+            ax.set_title(key)
+            ax.set_xlabel("step")
+            ax.legend(fontsize=7)
+            ax.grid(alpha=0.3)
+        for j, key in enumerate(epoch_keys):
+            ax = flat[len(metric_keys) + j]
+            pts = [(r["epoch"], r[key]) for r in epochs if key in r]
+            ax.plot(*zip(*pts), marker="o")
+            ax.set_title(f"epoch {key}")
+            ax.set_xlabel("epoch")
+            ax.grid(alpha=0.3)
+        for ax in list(flat)[n:]:
+            ax.axis("off")
+        fig.tight_layout()
+        fig.savefig(plot_path, dpi=120)
+        print(f"wrote {plot_path}")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--results_dir", type=str, required=True)
+    parser.add_argument("--results_dir", type=str, default=None)
     parser.add_argument("--plot", type=str, default=None)
+    parser.add_argument("--train_log", type=str, default=None,
+                        help="metrics.jsonl (or its log dir) from training")
+    parser.add_argument("--train_plot", type=str, default=None)
     args = parser.parse_args()
+    if args.train_log:
+        train_report(load_train_log(args.train_log), args.train_plot)
+    if not args.results_dir:
+        if not args.train_log:
+            parser.error("need --results_dir and/or --train_log")
+        return
     table = collect(args.results_dir)
     if not table:
         print("no eval_results_snr*.json files found")

@@ -18,6 +18,7 @@ the jitted step (mix+STFT+model+grads+update, one XLA program) runs SPMD.
 from __future__ import annotations
 
 import itertools
+import json
 import logging
 import os
 from typing import Callable, Dict, Optional
@@ -41,6 +42,36 @@ def _writers(log_dir: str):
                 SummaryWriter(os.path.join(log_dir, "val.events")))
     except ImportError:  # pragma: no cover
         return None, None
+
+
+class MetricsLog:
+    """Append-only JSONL training log — the durable, dependency-free
+    record behind the tensorboard scalars (consumed by
+    `python -m sos_tpu.cli.report --train_log <log_dir>`).
+
+    One line per event: {"kind": "train"|"val"|"epoch", "step", "epoch",
+    ...metrics}. Append mode keeps the history across resumed runs;
+    multi-host: only process 0 writes."""
+
+    def __init__(self, log_dir: str):
+        self._fp = None
+        if jax.process_index() == 0:
+            os.makedirs(log_dir, exist_ok=True)
+            self._fp = open(os.path.join(log_dir, "metrics.jsonl"), "a",
+                            buffering=1)
+
+    def write(self, kind: str, step: int, epoch: int, metrics: Dict) -> None:
+        if self._fp is None:
+            return
+        row = {"kind": kind, "step": step, "epoch": epoch}
+        for k, v in metrics.items():
+            if np.ndim(v) == 0:
+                row[k] = float(v)
+        self._fp.write(json.dumps(row) + "\n")
+
+    def close(self) -> None:
+        if self._fp is not None:
+            self._fp.close()
 
 
 def fit(
@@ -86,6 +117,7 @@ def fit(
     mesh = make_mesh(num_devices=num_devices)
     mgr = CheckpointManager(model_dir)
     train_tb, val_tb = _writers(log_dir)
+    jsonl = MetricsLog(log_dir)
     timer = StepTimer()
     best_metric = -np.inf
 
@@ -121,11 +153,17 @@ def fit(
                 sharded = shard_batch(batch, mesh)
                 state, metrics = train_step(state, sharded)
                 timer.stop()
-                if train_tb and clock.step % 10 == 0:
-                    for k, v in metrics.items():
-                        train_tb.add_scalar(k, float(v), global_step=clock.step)
-                    train_tb.add_scalar("steps_per_sec", timer.steps_per_sec,
-                                        global_step=clock.step)
+                if clock.step % 10 == 0:
+                    if train_tb:
+                        for k, v in metrics.items():
+                            train_tb.add_scalar(k, float(v),
+                                                global_step=clock.step)
+                        train_tb.add_scalar("steps_per_sec",
+                                            timer.steps_per_sec,
+                                            global_step=clock.step)
+                    jsonl.write("train", clock.step, clock.epoch,
+                                dict(metrics,
+                                     steps_per_sec=timer.steps_per_sec))
                 if has_val and clock.step % cfg.train.val_frequency == 0:
                     vmetrics = eval_step(state, shard_batch(next(val_iter), mesh))
                     if val_tb:
@@ -133,6 +171,7 @@ def fit(
                             if np.ndim(v) == 0:
                                 val_tb.add_scalar(k, float(v),
                                                   global_step=clock.step)
+                    jsonl.write("val", clock.step, clock.epoch, vmetrics)
                 if (visualize_hook
                         and clock.step % cfg.train.visualize_frequency == 0):
                     visualize_hook(train_tb, state, batch, clock.step)
@@ -154,6 +193,7 @@ def fit(
             if val_tb:
                 for k, v in epoch_metrics.items():
                     val_tb.add_scalar(f"epoch_{k}", v, global_step=clock.epoch)
+            jsonl.write("epoch", clock.step, clock.epoch, epoch_metrics)
             if track_accuracy and epoch_metrics.get("accuracy", -np.inf) > best_metric:
                 best_metric = epoch_metrics["accuracy"]
                 mgr.save(state, clock, "best_acc")
@@ -162,4 +202,5 @@ def fit(
             if epoch_hook:
                 epoch_hook(epoch, state, epoch_metrics)
     mgr.save(state, clock, "latest")
+    jsonl.close()
     return state

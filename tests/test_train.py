@@ -309,3 +309,34 @@ def test_midepoch_resume_exact(tmp_path):
                     jax.tree.leaves(full_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_metrics_jsonl_and_report(tmp_path, capsys):
+    """fit() writes the durable metrics.jsonl; the report CLI parses and
+    plots it."""
+    import dataclasses
+
+    from sos_tpu.cli.report import load_train_log, train_report
+    from sos_tpu.train.fit import fit
+
+    cfg = tiny_detector_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, nr_epochs=1,
+                                       val_frequency=2))
+    model, state = init_detector_state(cfg, steps_per_epoch=4)
+    step = make_detector_train_step(cfg, model, steps_per_epoch=4)
+    ev = make_detector_eval_step(cfg, model)
+    d = str(tmp_path / "exp")
+    fit(cfg, state, TrainClock(), step, ev, _FakeBatcher(cfg, 4),
+        _FakeBatcher(cfg, 2), d, d, num_devices=1)
+
+    rows = load_train_log(d)
+    kinds = {r["kind"] for r in rows}
+    assert {"train", "val", "epoch"} <= kinds
+    assert all("loss" in r for r in rows if r["kind"] == "train")
+    plot = str(tmp_path / "curves.png")
+    train_report(rows, plot)
+    out = capsys.readouterr().out
+    assert "train:" in out and "epoch" in out
+    import os
+    assert os.path.getsize(plot) > 0
