@@ -198,3 +198,4 @@ def test_odd_time_length_drift(setup):
     q.calibrate([(x, y)])
     qn, qc = jax.jit(q.__call__)(x, y)
     assert float(jnp.abs(qc - ref_crm).max()) < 5e-3
+
