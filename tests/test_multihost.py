@@ -96,3 +96,30 @@ def test_matches_single_process(worker_results):
     checksum = sum(float(np.sum(np.asarray(leaf)))
                    for leaf in jax.tree.leaves(state.params))
     np.testing.assert_allclose(checksum, worker_results[0][0], rtol=1e-6)
+
+
+def test_distributed_helpers_single_process():
+    """Single-process behavior of the distributed helpers."""
+    import jax
+    import pytest as _pytest
+
+    from sos_tpu.parallel import distributed, make_mesh, replicated
+
+    # initialize() with no coordinator: harmless no-op single-process
+    distributed.initialize()
+    assert jax.process_count() == 1
+
+    assert distributed.process_local_batch_size(8) == 8
+    with _pytest.raises(ValueError):
+        # indivisible global batch must be rejected loudly
+        orig = jax.process_count
+        try:
+            jax.process_count = lambda: 3  # simulate a 3-host pod
+            distributed.process_local_batch_size(8)
+        finally:
+            jax.process_count = orig
+
+    mesh = make_mesh(num_devices=2)
+    tree = {"a": np.ones((3, 4), np.float32)}
+    out = distributed.replicate(tree, replicated(mesh))
+    np.testing.assert_array_equal(np.asarray(out["a"]), tree["a"])
