@@ -69,7 +69,10 @@ def init_detector_state(cfg: ExperimentConfig, steps_per_epoch: int,
         t = 1 + int(cfg.data.clip_frames / cfg.data.frame_rate
                     * cfg.data.sample_rate) // cfg.stft.hop_length
         dummy = jnp.zeros((1, cfg.detector.freq_bins, t, 2))
-        variables = model.init(rng, dummy, train=False)
+        # jit the init: eager init issues one RPC per parameter on
+        # remote/tunneled TPUs (minutes at full size); jit is one program
+        variables = jax.jit(
+            lambda k: model.init(k, dummy, train=False))(rng)
     tx = make_optimizer(cfg, steps_per_epoch)
     state = TrainState(
         params=variables["params"],
@@ -90,7 +93,8 @@ def init_denoiser_state(cfg: ExperimentConfig, steps_per_epoch: int,
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.train.seed)
         t = 1 + cfg.data.clip_seconds * cfg.data.sample_rate // cfg.stft.hop_length
         dummy = jnp.zeros((1, cfg.denoiser.freq_bins, t, 2))
-        variables = model.init(rng, dummy, dummy, train=False)
+        variables = jax.jit(
+            lambda k: model.init(k, dummy, dummy, train=False))(rng)
     tx = make_optimizer(cfg, steps_per_epoch)
     state = TrainState(
         params=variables["params"],
