@@ -174,7 +174,13 @@ class TrainConfig:
     # Rematerialize the model forward in the backward pass. The full-size
     # denoiser at batch 40 OOMs 16G HBM without it (conv-stack
     # activations); remat trades ~1.3x FLOPs for fitting comfortably.
+    # (Measured v5e matrix in docs/ARCHITECTURE.md §2 — bf16/no-remat
+    # fits up to batch ~30 and trains 2.4x faster.)
     remat: bool = True
+    # Skip optimizer/BN updates in-graph when any gradient is non-finite
+    # (corrupt batch, low-precision overflow) instead of poisoning the
+    # state; the step's `finite` metric records skips.
+    skip_nonfinite_updates: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -83,16 +83,20 @@ def make_joint_train_step(cfg: ExperimentConfig, det_model: SilenceDetector,
         (den_loss, (den_stats, l1, l2)), den_grads = jax.value_and_grad(
             den_loss_fn, has_aux=True)(den_state.params)
 
-        det_updates, det_opt = tx_det.update(det_grads, det_state.opt_state,
-                                             det_state.params)
-        den_updates, den_opt = tx_den.update(den_grads, den_state.opt_state,
-                                             den_state.params)
-        new_det = TrainState(optax.apply_updates(det_state.params, det_updates),
-                             det_stats, det_opt, det_state.step + 1)
-        new_den = TrainState(optax.apply_updates(den_state.params, den_updates),
-                             den_stats, den_opt, den_state.step + 1)
+        from sos_tpu.train.loop import guarded_update
+
+        guard = cfg.train.skip_nonfinite_updates
+        det_params, det_opt, det_stats, det_fin = guarded_update(
+            tx_det, det_state, det_grads, det_stats, guard)
+        den_params, den_opt, den_stats, den_fin = guarded_update(
+            tx_den, den_state, den_grads, den_stats, guard)
+        new_det = TrainState(det_params, det_stats, det_opt,
+                             det_state.step + 1)
+        new_den = TrainState(den_params, den_stats, den_opt,
+                             den_state.step + 1)
         metrics = {"detector_loss": det_loss, "detector_accuracy": det_acc,
-                   "denoiser_loss": den_loss, "stage1": l1, "stage2": l2}
+                   "denoiser_loss": den_loss, "stage1": l1, "stage2": l2,
+                   "finite": (det_fin & den_fin).astype(jnp.float32)}
         return new_det, new_den, metrics
 
     return train_step

@@ -110,6 +110,34 @@ def init_denoiser_state(cfg: ExperimentConfig, steps_per_epoch: int,
 # ---------------------------------------------------------------------------
 
 
+def _all_finite(tree) -> jnp.ndarray:
+    return jnp.all(jnp.asarray([jnp.all(jnp.isfinite(g))
+                                for g in jax.tree.leaves(tree)]))
+
+
+def guarded_update(tx, state: TrainState, grads, new_stats, enabled: bool):
+    """Apply the optimizer update only when EVERY gradient is finite.
+
+    A single inf/NaN batch (corrupt audio, overflow at low precision)
+    would otherwise poison the parameters, the Adam moments AND the
+    BatchNorm running stats permanently — the reference has no such
+    guard and dies by restart-from-checkpoint. The skip happens in-graph
+    (jnp.where), so the step stays one XLA program with no host sync.
+
+    Returns (new_params, new_opt, new_stats, finite_flag).
+    """
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    if not enabled:
+        return new_params, new_opt, new_stats, jnp.bool_(True)
+    finite = _all_finite(grads)
+    keep = lambda n, o: jnp.where(finite, n, o)
+    new_params = jax.tree.map(keep, new_params, state.params)
+    new_opt = jax.tree.map(keep, new_opt, state.opt_state)
+    new_stats = jax.tree.map(keep, new_stats, state.batch_stats)
+    return new_params, new_opt, new_stats, finite
+
+
 def _bce_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     # mean over all frames/batch, identical to BCEWithLogitsLoss default
     return jnp.mean(
@@ -151,11 +179,12 @@ def make_detector_train_step(cfg: ExperimentConfig, model: SilenceDetector,
 
         (loss, (new_stats, logits)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt, new_stats, finite = guarded_update(
+            tx, state, grads, new_stats, cfg.train.skip_nonfinite_updates)
         acc = jnp.mean(((jax.nn.sigmoid(logits) >= 0.5).astype(jnp.float32)
                         == prepared["label"]).astype(jnp.float32))
         metrics = {"loss": loss, "accuracy": acc,
+                   "finite": finite.astype(jnp.float32),
                    "lr": make_lr_schedule(cfg, steps_per_epoch)(state.step)}
         return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
 
@@ -211,9 +240,10 @@ def make_denoiser_train_step(cfg: ExperimentConfig, model: JointDenoiser,
 
         (loss, (new_stats, l1, l2)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt, new_stats, finite = guarded_update(
+            tx, state, grads, new_stats, cfg.train.skip_nonfinite_updates)
         metrics = {"loss": loss, "stage1": l1, "stage2": l2,
+                   "finite": finite.astype(jnp.float32),
                    "lr": make_lr_schedule(cfg, steps_per_epoch)(state.step)}
         return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
 

@@ -340,3 +340,34 @@ def test_metrics_jsonl_and_report(tmp_path, capsys):
     assert "train:" in out and "epoch" in out
     import os
     assert os.path.getsize(plot) > 0
+
+
+def test_nonfinite_gradient_guard():
+    """A NaN batch must not poison params/opt-state/BN stats; the step's
+    `finite` metric records the skip; the next good batch updates."""
+    cfg = tiny_detector_cfg()
+    assert cfg.train.skip_nonfinite_updates
+    model, state = init_detector_state(cfg, steps_per_epoch=5)
+    step = make_detector_train_step(cfg, model, steps_per_epoch=5)
+
+    bad = _detector_batch(cfg, 2)
+    bad["clean"] = bad["clean"].copy()
+    bad["clean"][0, :10] = np.nan
+    p_before = jax.tree.leaves(state.params)
+    state2, m = step(state, bad)
+    assert float(m["finite"]) == 0.0
+    for a, b in zip(jax.tree.leaves(state2.params), p_before):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state2.opt_state),
+                    jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state2.step) == int(state.step) + 1  # clock still advances
+
+    good = _detector_batch(cfg, 2, seed=3)
+    state3, m2 = step(state2, good)
+    assert float(m2["finite"]) == 1.0
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state3.params),
+                        jax.tree.leaves(state2.params)))
+    assert changed
