@@ -71,24 +71,25 @@ def setup_distributed(args) -> Tuple[int, int]:
 
         distributed.initialize(getattr(args, "coordinator", None),
                                getattr(args, "num_processes", None),
-                               getattr(args, "process_id", None))
+                               getattr(args, "process_id", None),
+                               require=True)
     import jax
 
     return jax.process_index(), jax.process_count()
 
 
-def shard_batchers_for_host(train_b, test_b, cfg, pid: int, nproc: int):
+def shard_batchers_for_host(*batchers, cfg, pid: int, nproc: int):
     """Per-host data sharding: disjoint balanced window shards + the
     per-host slice of the global batch size."""
     if nproc <= 1:
-        return train_b, test_b
+        return batchers if len(batchers) > 1 else batchers[0]
     from sos_tpu.parallel.distributed import process_local_batch_size
 
     local_bs = process_local_batch_size(cfg.train.batch_size)
-    for b in (train_b, test_b):
+    for b in batchers:
         b.shard(pid, nproc)
         b.batch_size = local_bs
-    return train_b, test_b
+    return batchers if len(batchers) > 1 else batchers[0]
 
 
 def enable_compile_cache(path: str = None) -> None:

@@ -41,16 +41,25 @@ def collect(results_dir: str) -> "OrderedDict[float, dict]":
 
 
 def load_train_log(path: str):
-    """path: a metrics.jsonl file or the log dir containing it."""
+    """path: a metrics.jsonl file or the log dir containing it.
+
+    The log is append-mode across crash-resumes, so replayed steps can
+    appear twice (pre-crash rows, then the resumed run's rows): keep the
+    LAST row per (kind, step/epoch) and return in step order."""
     if os.path.isdir(path):
         path = os.path.join(path, "metrics.jsonl")
-    rows = []
+    latest = {}
     with open(path) as fp:
         for line in fp:
             line = line.strip()
-            if line:
-                rows.append(json.loads(line))
-    return rows
+            if not line:
+                continue
+            r = json.loads(line)
+            key = (r["kind"],
+                   r["epoch"] if r["kind"] == "epoch" else r["step"])
+            latest[key] = r
+    return sorted(latest.values(),
+                  key=lambda r: (r["step"], r["epoch"], r["kind"]))
 
 
 def train_report(rows, plot_path=None) -> None:
@@ -66,14 +75,23 @@ def train_report(rows, plot_path=None) -> None:
         print(f"train: {len(train)} logged steps, last step {last['step']}: "
               + " ".join(f"{k}={last[k]:.5g}" for k in keys))
     if epochs:
+        skip = ("kind", "step", "epoch", "ckpt_epoch")
         last = epochs[-1]
-        keys = [k for k in last if k not in ("kind", "step", "epoch")]
+        keys = [k for k in last if k not in skip]
         print(f"epoch {last['epoch']}: "
               + " ".join(f"{k}={last[k]:.5g}" for k in keys))
         for key in keys:
-            series = [(r["epoch"], r[key]) for r in epochs if key in r]
-            best = max(series, key=lambda t: t[1])
-            print(f"  best epoch_{key}: {best[1]:.5g} @ epoch {best[0]}")
+            # loss-style metrics: lower is better
+            lower = any(t in key for t in ("loss", "stage", "l1", "wss",
+                                           "llr"))
+            series = [(r, r[key]) for r in epochs if key in r]
+            best_r, best_v = (min if lower else max)(series,
+                                                     key=lambda t: t[1])
+            which = "min" if lower else "max"
+            ck = best_r.get("ckpt_epoch")
+            ck_s = f" (ckpt_epoch{ck})" if ck is not None else ""
+            print(f"  best({which}) epoch_{key}: {best_v:.5g} "
+                  f"@ epoch {best_r['epoch']}{ck_s}")
     if plot_path:
         import matplotlib
 
@@ -88,7 +106,8 @@ def train_report(rows, plot_path=None) -> None:
         epoch_keys = []
         for r in epochs:
             for k in r:
-                if k not in ("kind", "step", "epoch") and k not in epoch_keys:
+                if (k not in ("kind", "step", "epoch", "ckpt_epoch")
+                        and k not in epoch_keys):
                     epoch_keys.append(k)
         n = len(metric_keys) + len(epoch_keys)
         cols = 3

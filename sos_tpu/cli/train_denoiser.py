@@ -52,7 +52,8 @@ def main() -> None:
                              cfg.train.batch_size, shuffle=False,
                              seed=cfg.train.seed + 1)
 
-    train_b, test_b = shard_batchers_for_host(train_b, test_b, cfg, pid, nproc)
+    train_b, test_b = shard_batchers_for_host(train_b, test_b, cfg=cfg,
+                                          pid=pid, nproc=nproc)
     steps_per_epoch = max(1, len(train_b))
     model, state = init_denoiser_state(cfg, steps_per_epoch)
     clock = TrainClock()

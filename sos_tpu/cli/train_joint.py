@@ -38,11 +38,9 @@ def main() -> None:
                                cfg.data.overlap_seconds)
     batcher = DenoiserBatcher(windows, noise, cfg.data, cfg.train.batch_size,
                               shuffle=True, seed=cfg.train.seed)
-    if nproc > 1:
-        from sos_tpu.parallel.distributed import process_local_batch_size
+    from sos_tpu.cli.common import shard_batchers_for_host
 
-        batcher.shard(pid, nproc)
-        batcher.batch_size = process_local_batch_size(cfg.train.batch_size)
+    batcher = shard_batchers_for_host(batcher, cfg=cfg, pid=pid, nproc=nproc)
     steps_per_epoch = max(1, len(batcher))
 
     (det_model, det_state), (den_model, den_state) = init_joint_states(
@@ -55,8 +53,14 @@ def main() -> None:
     num_devices = args.num_devices
     if num_devices is None:
         num_devices = len(jax.devices())
-        while nproc == 1 and cfg.train.batch_size % num_devices:
-            num_devices -= 1
+        if nproc > 1:
+            if cfg.train.batch_size % num_devices:
+                raise ValueError(
+                    f"multi-host: global batch {cfg.train.batch_size} must "
+                    f"divide the global device count {num_devices}")
+        else:
+            while cfg.train.batch_size % num_devices:
+                num_devices -= 1
     mesh = make_mesh(num_devices=num_devices)
     from sos_tpu.parallel import distributed
     with mesh:

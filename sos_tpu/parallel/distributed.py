@@ -29,9 +29,15 @@ import numpy as np
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
-               process_id: Optional[int] = None) -> None:
+               process_id: Optional[int] = None,
+               require: bool = False) -> None:
     """Bring up the JAX distributed runtime. No-op if already initialized
     or if running single-process with no coordinator configured.
+
+    `require=True` (the CLIs' --distributed path): a bring-up failure
+    RAISES instead of silently degrading — otherwise every host of an
+    intended pod run would train the full dataset independently and race
+    on the shared checkpoint directory.
 
     Must run before anything touches the XLA backend (jax.devices(),
     any computation) — call it first thing in main()."""
@@ -41,7 +47,14 @@ def initialize(coordinator_address: Optional[str] = None,
         # TPU-pod auto-detection; harmless single-process otherwise
         try:
             jax.distributed.initialize()
-        except Exception:
+        except Exception as exc:
+            if require:
+                raise RuntimeError(
+                    "--distributed requested but jax.distributed auto-"
+                    "detection failed (not on a TPU pod?). Pass "
+                    "--coordinator host:port --num_processes N "
+                    "--process_id K explicitly, or drop --distributed "
+                    "for single-host training.") from exc
             return
     else:
         jax.distributed.initialize(coordinator_address=coordinator_address,
@@ -54,7 +67,8 @@ def process_local_batch_size(global_batch: int) -> int:
     n = jax.process_count()
     if global_batch % n:
         raise ValueError(
-            f"global batch {global_batch} must divide process count {n}")
+            f"process count {n} must divide the global batch "
+            f"{global_batch} (pick batch_size as a multiple of {n})")
     return global_batch // n
 
 

@@ -116,7 +116,11 @@ def fit(
                     num_devices)
     mesh = make_mesh(num_devices=num_devices)
     mgr = CheckpointManager(model_dir)
-    train_tb, val_tb = _writers(log_dir)
+    # multi-host: observability (tensorboard, jsonl, visualize hook) and
+    # checkpoints write from process 0 only — the metrics are computed on
+    # the global batch and identical on every host
+    is_main = jax.process_index() == 0
+    train_tb, val_tb = _writers(log_dir) if is_main else (None, None)
     jsonl = MetricsLog(log_dir)
     timer = StepTimer()
     best_metric = -np.inf
@@ -172,7 +176,7 @@ def fit(
                                 val_tb.add_scalar(k, float(v),
                                                   global_step=clock.step)
                     jsonl.write("val", clock.step, clock.epoch, vmetrics)
-                if (visualize_hook
+                if (visualize_hook and is_main
                         and clock.step % cfg.train.visualize_frequency == 0):
                     visualize_hook(train_tb, state, batch, clock.step)
                 clock.tick()
@@ -192,8 +196,12 @@ def fit(
             epoch_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
             if val_tb:
                 for k, v in epoch_metrics.items():
-                    val_tb.add_scalar(f"epoch_{k}", v, global_step=clock.epoch)
-            jsonl.write("epoch", clock.step, clock.epoch, epoch_metrics)
+                    val_tb.add_scalar(f"epoch_{k}", v, global_step=epoch)
+            # `epoch` (the loop index) matches the train/val rows of this
+            # epoch; clock.epoch has already tocked to epoch+1, which is
+            # the ckpt_epoch{N} name the epoch's checkpoint gets
+            jsonl.write("epoch", clock.step, epoch,
+                        dict(epoch_metrics, ckpt_epoch=clock.epoch))
             if track_accuracy and epoch_metrics.get("accuracy", -np.inf) > best_metric:
                 best_metric = epoch_metrics["accuracy"]
                 mgr.save(state, clock, "best_acc")
