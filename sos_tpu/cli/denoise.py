@@ -44,6 +44,11 @@ def main() -> None:
                              "reference-exact, bf16 = bf16 conv trunks, "
                              "int8 = quantized trunks + packed layout "
                              "(fastest; self-calibrates on first batch)")
+    parser.add_argument("--calibration_json", type=str, default=None,
+                        help="int8 activation-scale file; loaded when "
+                             "present, else written after the first "
+                             "self-calibration (default: "
+                             "<denoiser model dir>/int8_calibration.json)")
     args = parser.parse_args()
 
     cfg = config_from_args(args, stage="denoise")
@@ -56,11 +61,16 @@ def main() -> None:
 
     wav, _ = audio_io.load(args.input, sr=cfg.data.sample_rate)
     profile = args.profile or ("bf16" if args.bf16 else None)
+    calib = args.calibration_json
+    if calib is None and profile == "int8":
+        import os
+
+        calib = os.path.join(den_dir, "int8_calibration.json")
     stream = StreamingDenoiser(
         cfg, det_vars, den_vars, chunk_seconds=args.chunk_seconds,
         overlap_seconds=args.overlap_seconds, threshold=args.threshold,
         compute_dtype="bfloat16" if args.bf16 else "float32",
-        profile=profile)
+        profile=profile, calibration_path=calib)
     out = stream.denoise(wav.astype(np.float32))
     audio_io.write_wav(args.output, out, cfg.data.sample_rate)
     print(f"denoised {len(wav) / cfg.data.sample_rate:.1f}s -> {args.output}")

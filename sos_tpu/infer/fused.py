@@ -31,13 +31,18 @@ class FusedDenoisePipeline:
     def __init__(self, cfg: ExperimentConfig, detector_vars: Dict,
                  denoiser_vars: Dict, threshold: float = 0.5,
                  clip_seconds: float = 2.0, compute_dtype: str = "float32",
-                 profile: str = None):
+                 profile: str = None, calibration_path: str = None):
         """`profile`: "f32" | "bf16" | "int8" — the bench.py profiles.
         f32/bf16 map onto `compute_dtype`; "int8" swaps the denoiser for
         the quantized packed pipeline (models/quant.py; detector runs
         bf16). The int8 profile self-calibrates on the FIRST batch it
         sees (static activation scales; mixed spectra are an upper bound
-        for the gated-noise observation, so the scales are safe)."""
+        for the gated-noise observation, so the scales are safe).
+
+        `calibration_path`: JSON file persisting the int8 activation
+        scales — loaded when present (skips self-calibration so every
+        serving process uses identical scales), written after the first
+        self-calibration otherwise."""
         if profile:
             compute_dtype = {"f32": "float32", "bf16": "bfloat16",
                              "int8": "bfloat16"}[profile]
@@ -53,6 +58,7 @@ class FusedDenoisePipeline:
         self.denoiser_vars = denoiser_vars
         self.clip_samples = int(clip_seconds * cfg.data.sample_rate)
         self.num_frames = int(clip_seconds * cfg.data.frame_rate)
+        self._calibration_path = calibration_path
         self._quant = None
         self._quant_det = None
         if self.profile == "int8":
@@ -220,12 +226,32 @@ class FusedDenoisePipeline:
         return self._denoise_bits(self.denoiser_vars, mixed, bits)
 
     def _maybe_calibrate(self, mixed) -> None:
-        if self._quant is not None and not self._quant._calibrated:
-            spec = stft(jnp.asarray(mixed), self.cfg.stft.n_fft,
-                        self.cfg.stft.hop_length, self.cfg.stft.win_length)
+        if self._quant is None or self._quant._calibrated:
+            return
+        import json
+        import os
+
+        path = self._calibration_path
+        if path and os.path.exists(path):
+            with open(path) as fp:
+                state = json.load(fp)
+            self._quant.load_calibration(state["denoiser"])
+            if self._quant_det is not None and "detector" in state:
+                self._quant_det.load_calibration(state["detector"])
+            if self._quant_det is None or self._quant_det._calibrated:
+                return
+        spec = stft(jnp.asarray(mixed), self.cfg.stft.n_fft,
+                    self.cfg.stft.hop_length, self.cfg.stft.win_length)
+        if not self._quant._calibrated:
             self._quant.calibrate([(spec, spec)])
+        if self._quant_det is not None and not self._quant_det._calibrated:
+            self._quant_det.calibrate([spec])
+        if path:
+            state = {"denoiser": self._quant.calibration_state()}
             if self._quant_det is not None:
-                self._quant_det.calibrate([spec])
+                state["detector"] = self._quant_det.calibration_state()
+            with open(path, "w") as fp:
+                json.dump(state, fp, indent=1)
 
     def shard(self, mesh, axis: str = "data") -> "FusedDenoisePipeline":
         """Serve batch-sharded over a device mesh (SPMD inference).

@@ -37,13 +37,14 @@ class StreamingDenoiser:
                  denoiser_vars: Dict, chunk_seconds: float = 2.0,
                  overlap_seconds: float = 0.5, batch_chunks: int = 16,
                  threshold: float = 0.5, compute_dtype: str = "float32",
-                 consistent_boundaries: bool = True, profile: str = None):
+                 consistent_boundaries: bool = True, profile: str = None,
+                 calibration_path: str = None):
         assert overlap_seconds < chunk_seconds
         self.cfg = cfg
         self.pipeline = FusedDenoisePipeline(
             cfg, detector_vars, denoiser_vars, threshold=threshold,
             clip_seconds=chunk_seconds, compute_dtype=compute_dtype,
-            profile=profile)
+            profile=profile, calibration_path=calibration_path)
         sr = cfg.data.sample_rate
         hop = cfg.stft.hop_length
         self.chunk = self.pipeline.clip_samples

@@ -521,6 +521,31 @@ class QuantizedDenoiser:
             self.qinpaint.finalize()
         self._calibrated = True
 
+    # -- calibration persistence ----------------------------------------
+
+    def calibration_state(self) -> Dict:
+        """The calibrated activation scales as a JSON-serializable dict —
+        the full quantization state beyond the float checkpoint. Persist
+        alongside the checkpoint so serving processes skip the
+        calibration pass (and all serve IDENTICAL scales)."""
+        assert self._calibrated
+        state = {"enc_x": list(self.enc_x.act_scales),
+                 "enc_n": list(self.enc_n.act_scales)}
+        if self.inpaint_mode == "int8":
+            state["inpaint"] = dict(self.qinpaint.out_scales)
+        return state
+
+    def load_calibration(self, state: Dict) -> None:
+        self.enc_x.act_scales = [float(s) for s in state["enc_x"]]
+        self.enc_n.act_scales = [float(s) for s in state["enc_n"]]
+        self.enc_x.finalize()
+        self.enc_n.finalize()
+        if self.inpaint_mode == "int8":
+            self.qinpaint.out_scales = {k: float(v)
+                                        for k, v in state["inpaint"].items()}
+            self.qinpaint.finalize()
+        self._calibrated = True
+
     # -- forward ---------------------------------------------------------
 
     def _encoder_int8(self, enc: QuantEncoderParams, x: jnp.ndarray,
@@ -593,6 +618,15 @@ class QuantizedDetector:
                                              for a, b in zip(maxes, m)]
         self.enc.act_scales = [m * self.margin / 127.0 + 1e-12
                                for m in maxes]
+        self.enc.finalize()
+        self._calibrated = True
+
+    def calibration_state(self) -> Dict:
+        assert self._calibrated
+        return {"conv": list(self.enc.act_scales)}
+
+    def load_calibration(self, state: Dict) -> None:
+        self.enc.act_scales = [float(s) for s in state["conv"]]
         self.enc.finalize()
         self._calibrated = True
 

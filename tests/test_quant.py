@@ -199,3 +199,58 @@ def test_odd_time_length_drift(setup):
     qn, qc = jax.jit(q.__call__)(x, y)
     assert float(jnp.abs(qc - ref_crm).max()) < 5e-3
 
+
+
+def test_calibration_roundtrip(setup):
+    """Persisted calibration scales reproduce the exact same quantized
+    program: calibrate -> save -> load into a FRESH instance -> outputs
+    bit-identical."""
+    cfg, model, v, x, y = setup
+    q1 = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")
+    q1.calibrate([(x, y)])
+    state = q1.calibration_state()
+    import json
+    state = json.loads(json.dumps(state))  # through-JSON fidelity
+
+    q2 = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")
+    q2.load_calibration(state)
+    n1, c1 = jax.jit(q1.__call__)(x, y)
+    n2, c2 = jax.jit(q2.__call__)(x, y)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_fused_pipeline_calibration_file(setup, tmp_path):
+    """FusedDenoisePipeline writes the calibration JSON on first use and
+    a second instance loads it without self-calibrating."""
+    import json as _json
+
+    from sos_tpu.config import (DataConfig, DetectorModelConfig,
+                                ExperimentConfig)
+    from sos_tpu.infer.fused import FusedDenoisePipeline
+    from sos_tpu.models import SilenceDetector
+
+    cfg_d, model, v, x, y = setup
+    det_cfg = DetectorModelConfig(nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
+                                  dilations=((1, 1), (2, 2)),
+                                  lstm_hidden=4, fc_hidden=4)
+    cfg = ExperimentConfig(detector=det_cfg, denoiser=cfg_d,
+                           data=DataConfig())
+    det = SilenceDetector(det_cfg)
+    dv = det.init(jr.PRNGKey(9), jnp.zeros((1, 256, 90, 2)))
+    mixed = jr.normal(jr.PRNGKey(10), (2, 28000)) * 0.2
+
+    path = str(tmp_path / "calib.json")
+    p1 = FusedDenoisePipeline(cfg, dv, v, profile="int8",
+                              calibration_path=path)
+    out1, bits1 = p1(mixed)
+    blob = _json.load(open(path))
+    assert "denoiser" in blob and "detector" in blob
+
+    p2 = FusedDenoisePipeline(cfg, dv, v, profile="int8",
+                              calibration_path=path)
+    # different first batch -- must NOT affect the loaded scales
+    out2, bits2 = p2(mixed * 3.0)
+    assert p2._quant.calibration_state() == p1._quant.calibration_state()
+    out2b, _ = p2(mixed)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2b))
