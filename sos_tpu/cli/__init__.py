@@ -7,4 +7,12 @@
     python -m sos_tpu.cli.train_denoiser    <- model_2 train.py
     python -m sos_tpu.cli.predict_denoiser  <- model_2 predict.py
     python -m sos_tpu.cli.report            <- model_2 draw_agg_stats.py
+
+TPU-native additions with no reference equivalent:
+
+    python -m sos_tpu.cli.train_joint       both stages, one SPMD step
+    python -m sos_tpu.cli.denoise           one-shot wav -> wav (fused)
+    python -m sos_tpu.cli.eval_synthetic    batched per-SNR quality eval
+    python -m sos_tpu.cli.import_checkpoint .pth -> orbax experiment
+    python -m sos_tpu.cli.export_serving    AOT StableHLO serving artifact
 """

@@ -1,0 +1,102 @@
+"""Ahead-of-time serving artifacts: the fused denoise program as one
+serialized StableHLO file.
+
+The reference "deploys" by shipping a Python tree + checkpoints and
+re-tracing at every start. Here the whole serving program — STFT ->
+detector -> silence mask -> quantized denoiser -> icRM -> iSTFT, weights
+embedded as constants — exports through `jax.export` with multi-platform
+lowering (TPU + CPU), so a serving process needs only jaxlib and the
+artifact: no model code, no checkpoint loading, no re-trace, and
+identical numerics everywhere the artifact runs.
+
+    path = export_denoise_program(cfg, det_vars, den_vars,
+                                  "denoise_b128.jaxprog", batch=128,
+                                  profile="int8",
+                                  calibration_path="int8_calibration.json")
+    serve = load_denoise_program(path)
+    denoised, bits = serve(mixed)   # (B, clip_samples) float32
+
+Artifacts are per (batch, clip_seconds) — export one per serving bucket
+(the same recipe as the bucketed predictors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from sos_tpu.config import ExperimentConfig
+from sos_tpu.infer.fused import FusedDenoisePipeline
+
+
+def export_denoise_program(
+    cfg: ExperimentConfig,
+    detector_vars: Dict,
+    denoiser_vars: Dict,
+    path: str,
+    batch: int,
+    clip_seconds: float = 2.0,
+    threshold: float = 0.5,
+    profile: str = "f32",
+    calibration_path: str = None,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> str:
+    """Serialize the fused pipeline for a fixed (batch, clip) shape.
+
+    For the int8 profile a calibration JSON (see
+    FusedDenoisePipeline._maybe_calibrate) is REQUIRED — exporting must
+    not depend on whatever batch happens to flow first.
+    """
+    pipe = FusedDenoisePipeline(cfg, detector_vars, denoiser_vars,
+                                threshold=threshold,
+                                clip_seconds=clip_seconds, profile=profile,
+                                calibration_path=calibration_path)
+    if pipe._quant is not None:
+        if not (calibration_path and os.path.exists(calibration_path)):
+            raise ValueError(
+                "int8 export requires a calibration JSON (run the serving "
+                "pipeline once with calibration_path set, or pass scales "
+                "captured via QuantizedDenoiser.calibration_state())")
+        with open(calibration_path) as fp:
+            state = json.load(fp)
+        pipe._quant.load_calibration(state["denoiser"])
+        if pipe._quant_det is not None:
+            pipe._quant_det.load_calibration(state["detector"])
+
+    det_vars, den_vars, run = pipe.detector_vars, pipe.denoiser_vars, pipe._run
+
+    @jax.jit
+    def serve(mixed):
+        # weights close over as embedded constants
+        return run(det_vars, den_vars, mixed)
+
+    spec = jax.ShapeDtypeStruct((batch, pipe.clip_samples), jnp.float32)
+    exported = jax_export.export(serve, platforms=list(platforms))(spec)
+    blob = exported.serialize()
+    with open(path, "wb") as fp:
+        fp.write(blob)
+    meta = {
+        "batch": batch,
+        "clip_samples": pipe.clip_samples,
+        "sample_rate": cfg.data.sample_rate,
+        "profile": pipe.profile,
+        "threshold": threshold,
+        "platforms": list(exported.platforms),
+    }
+    with open(path + ".json", "w") as fp:
+        json.dump(meta, fp, indent=1)
+    return path
+
+
+def load_denoise_program(path: str) -> Callable:
+    """Deserialize an exported artifact into a callable
+    `serve(mixed) -> (denoised, bits)` (jit-compiled on first call for
+    whatever platform this process runs)."""
+    with open(path, "rb") as fp:
+        exported = jax_export.deserialize(fp.read())
+    return jax.jit(exported.call)
