@@ -32,6 +32,9 @@ def main() -> None:
                         choices=("f32", "bf16", "int8"),
                         help="serving profile to evaluate (measures the "
                              "profile's quality delta on this checkpoint)")
+    parser.add_argument("--noisy_baseline", action="store_true",
+                        help="also score the noisy mixtures vs clean "
+                             "(noisy_* columns) to show the improvement")
     args = parser.parse_args()
     cfg = config_from_args(args, stage="denoiser")
     _, _, model_dir = experiment_dirs(cfg, "denoiser")
@@ -51,12 +54,17 @@ def main() -> None:
                                   seed=cfg.data.pred_random_seed)
         agg = evaluate_synthetic(snr_cfg, variables, batcher,
                                  max_batches=args.max_batches,
-                                 profile=args.profile)
+                                 profile=args.profile,
+                                 noisy_baseline=args.noisy_baseline)
         snr = cfg.data.snrs[idx]
         report[f"snr_{snr}"] = agg
         print(f"SNR {snr:+d} dB: " + " ".join(
             f"{k.replace('avg_', '')}={v:.4f}" for k, v in agg.items()
             if k.startswith("avg_")))
+        if args.noisy_baseline:
+            print(f"  noisy baseline: " + " ".join(
+                f"{k.replace('noisy_avg_', '')}={v:.4f}"
+                for k, v in agg.items() if k.startswith("noisy_avg_")))
     if args.out:
         with open(args.out, "w") as fp:
             json.dump(report, fp, indent=4)

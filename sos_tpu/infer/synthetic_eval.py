@@ -37,6 +37,7 @@ def evaluate_synthetic(
     max_batches: Optional[int] = None,
     compute_dtype: str = "float32",
     profile: Optional[str] = None,
+    noisy_baseline: bool = False,
 ) -> OrderedDict:
     """Run batched mix->denoise->metrics; returns avg_* aggregates.
 
@@ -48,6 +49,10 @@ def evaluate_synthetic(
     serving profile — THE way to measure a profile's STOI/PESQ delta on
     real data for a given checkpoint (int8 self-calibrates on the first
     batch).
+
+    `noisy_baseline=True` additionally scores the NOISY mixtures against
+    clean (`noisy_avg_*` keys) so the report shows the improvement the
+    denoiser delivers, not just absolute numbers.
     """
     if profile in ("f32", None):
         compute_dtype = "float32"
@@ -76,7 +81,9 @@ def evaluate_synthetic(
                          scfg.win_length)
         clean_sig = istft(d["clean"], scfg.n_fft, scfg.hop_length,
                           scfg.win_length)
-        return denoised, clean_sig
+        mixed_sig = istft(d["mixed"], scfg.n_fft, scfg.hop_length,
+                          scfg.win_length)
+        return denoised, clean_sig, mixed_sig
 
     def calibrate_first(batch):
         if quant is None or quant._calibrated:
@@ -88,33 +95,48 @@ def evaluate_synthetic(
         quant.calibrate([(d["mixed"], d["noise"])])
 
     per_clip = []
+    noisy_clip = []
     sr = cfg.data.sample_rate
     for b_idx, batch in enumerate(batcher):
         if max_batches is not None and b_idx >= max_batches:
             break
         if b_idx == 0:
             calibrate_first(batch)
-        denoised, clean_sig = run(
+        denoised, clean_sig, mixed_sig = run(
             denoiser_vars, jnp.asarray(batch["clean"]),
             jnp.asarray(batch["noise"]), jnp.asarray(batch["snr"]),
             jnp.asarray(batch["bits"]))
         denoised = np.asarray(denoised)
         clean_sig = np.asarray(clean_sig)
+        mixed_sig = np.asarray(mixed_sig)
 
         def _one(i):
             out_16k = audio_io.resample(denoised[i], sr, metrics_sr)
             ref_16k = audio_io.resample(clean_sig[i], sr, metrics_sr)
             return evaluate_metrics(out_16k, ref_16k, sr=metrics_sr)
 
+        def _one_noisy(i):
+            mix_16k = audio_io.resample(mixed_sig[i], sr, metrics_sr)
+            ref_16k = audio_io.resample(clean_sig[i], sr, metrics_sr)
+            return evaluate_metrics(mix_16k, ref_16k, sr=metrics_sr)
+
         # host metric suite threads well (numpy releases the GIL)
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=8) as pool:
             per_clip.extend(pool.map(_one, range(denoised.shape[0])))
+            if noisy_baseline:
+                noisy_clip.extend(pool.map(_one_noisy,
+                                           range(denoised.shape[0])))
 
     agg = OrderedDict()
     agg["num_clips"] = len(per_clip)
     for key in METRIC_KEYS:
         vals = [m[key] for m in per_clip]
         agg[f"avg_{key}"] = float(np.nanmean(vals)) if per_clip else float("nan")
+    if noisy_baseline:
+        for key in METRIC_KEYS:
+            vals = [m[key] for m in noisy_clip]
+            agg[f"noisy_avg_{key}"] = (float(np.nanmean(vals))
+                                       if noisy_clip else float("nan"))
     return agg

@@ -131,3 +131,58 @@ def test_detector_batch_no_buckets_falls_back():
     b2, c2 = pred.predict_waveform(waves[0], 43)
     assert np.array_equal(bits, b2)
     np.testing.assert_allclose(conf, c2, atol=0)
+
+
+def test_synthetic_eval_noisy_baseline():
+    """noisy_baseline=True adds noisy_avg_* keys scoring mixed vs clean;
+    at high SNR the noisy overall_snr must far exceed a random model's
+    output score."""
+    import dataclasses
+
+    import jax.random as jr
+
+    from sos_tpu.config import (DataConfig, DenoiserModelConfig,
+                                ExperimentConfig)
+    from sos_tpu.data.pipeline import DenoiserBatcher
+    from sos_tpu.data.sampling import NoiseBank
+    from sos_tpu.data.windows import DenoiserWindow
+    from sos_tpu.infer.synthetic_eval import evaluate_synthetic
+    from sos_tpu.models import JointDenoiser
+
+    cfg = ExperimentConfig(
+        denoiser=DenoiserModelConfig(
+            nf_mixed=4, nf_noise=2, outf_mixed=2, outf_noise=2,
+            kernel_sizes=((1, 7), (5, 5)), dilations=((1, 1), (2, 2)),
+            lstm_hidden=4, fc_hidden=8, inpaint_ch=(4, 6, 8)),
+        data=DataConfig(snr_idx=6))  # +10 dB
+    rng = np.random.default_rng(5)
+    sr = cfg.data.sample_rate
+    import pathlib
+    import tempfile
+
+    from sos_tpu.dsp import audio_io
+
+    with tempfile.TemporaryDirectory() as td:
+        wav = pathlib.Path(td) / "c.wav"
+        audio_io.write_wav(str(wav),
+                           rng.standard_normal(sr * 4).astype(np.float32)
+                           * 0.3, sr)
+        windows = [DenoiserWindow(file_index=0, audio_path=str(wav),
+                                  start_sec=0.0, end_sec=2.0,
+                                  bits="1" * 60, framerate=30),
+                   DenoiserWindow(file_index=0, audio_path=str(wav),
+                                  start_sec=1.0, end_sec=3.0,
+                                  bits="1" * 60, framerate=30)]
+        bank = NoiseBank.from_arrays(
+            [rng.standard_normal(sr * 6).astype(np.float32) * 0.2], sr)
+        batcher = DenoiserBatcher(windows, bank, cfg.data, batch_size=2,
+                                  shuffle=False)
+        model = JointDenoiser(cfg.denoiser)
+        dummy = jnp.zeros((1, 256, 178, 2))
+        v = model.init(jr.PRNGKey(0), dummy, dummy)
+        agg = evaluate_synthetic(cfg, v, batcher, noisy_baseline=True)
+    assert agg["num_clips"] == 2
+    assert np.isfinite(agg["noisy_avg_overall_snr"])
+    assert np.isfinite(agg["noisy_avg_stoi"])
+    # +10 dB mixtures: noisy baseline must beat a random-weight model
+    assert agg["noisy_avg_overall_snr"] > agg["avg_overall_snr"]
