@@ -15,4 +15,5 @@ TPU-native additions with no reference equivalent:
     python -m sos_tpu.cli.eval_synthetic    batched per-SNR quality eval
     python -m sos_tpu.cli.import_checkpoint .pth -> orbax experiment
     python -m sos_tpu.cli.export_serving    AOT StableHLO serving artifact
+    python -m sos_tpu.cli.serve             long-lived denoising server
 """

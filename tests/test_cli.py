@@ -193,3 +193,40 @@ def test_cli_import_checkpoint(cli_env, monkeypatch, tmp_path):
           "--name", "imp", "--ckpt", "7", "--unknown_clean_signal", "true",
           "--outputs", pred_out], monkeypatch)
     assert os.path.exists(os.path.join(pred_out, "eval_results.json"))
+
+
+def test_cli_serve_protocol(cli_env):
+    """Drive the long-lived serve loop over stdin: PING, two denoise
+    requests (pipeline stays warm), an error, QUIT."""
+    import subprocess
+
+    root = cli_env["root"]
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "from sos_tpu.cli.serve import main; main()",
+         "--output_root", str(root / "model_output"),
+         "--name", "tiny", "--config_json", cli_env["cfg"]],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, env=env,
+        cwd=str(root))
+    # NB: python -c consumes argv[0]; pass CLI args via sys.argv patching
+    out1 = str(root / "served1.wav")
+    out2 = str(root / "served2.wav")
+    reqs = ("PING\n"
+            f"{cli_env['audio_dir']}/c0.wav\t{out1}\n"
+            f"{cli_env['audio_dir']}/c1.wav\t{out2}\n"
+            "/nonexistent.wav\t/tmp/x.wav\n"
+            "QUIT\n")
+    stdout, _ = proc.communicate(reqs, timeout=600)
+    lines = [ln for ln in stdout.splitlines() if ln]
+    assert lines[0] == "READY", stdout
+    assert lines[1] == "PONG"
+    assert lines[2].startswith("OK " + out1)
+    assert lines[3].startswith("OK " + out2)
+    assert lines[4].startswith("ERR")
+    assert lines[5] == "BYE"
+    assert os.path.exists(out1) and os.path.exists(out2)
