@@ -117,9 +117,14 @@ class DatasetIndex:
     def load(path: str) -> "DatasetIndex":
         with open(path, "r") as fp:
             raw = json.load(fp)
+        if not isinstance(raw, dict) or "files" not in raw:
+            raise ValueError(
+                f"{path} is not a dataset JSON (missing the 'files' list; "
+                "expected the schema written by sos_tpu.cli.preprocess / "
+                "data/sounds_of_silence.json)")
         return DatasetIndex(
             dataset_path=raw.get("dataset_path", os.path.dirname(path)),
-            files=[FileRecord.from_json(f) for f in raw.get("files", [])],
+            files=[FileRecord.from_json(f) for f in raw["files"]],
         )
 
     def save(self, path: str) -> None:

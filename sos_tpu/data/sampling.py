@@ -57,7 +57,15 @@ class NoiseBank:
 
     @staticmethod
     def from_roots(roots: Sequence[str], sample_rate: int) -> "NoiseBank":
-        return NoiseBank(find_noise_files(roots), sample_rate)
+        paths = find_noise_files(roots)
+        if not paths:
+            # fail HERE with the roots in hand, not later with a cryptic
+            # "high <= 0" from random_track inside the batch loop
+            raise ValueError(
+                f"no noise WAVs found under noise root(s) {list(roots)} — "
+                "check --noise_root (files are discovered recursively by "
+                "extension)")
+        return NoiseBank(paths, sample_rate)
 
     @staticmethod
     def from_arrays(tracks: Sequence[np.ndarray], sample_rate: int) -> "NoiseBank":

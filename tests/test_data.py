@@ -209,3 +209,25 @@ def test_snr_suffix_formats():
     assert snr_suffix(-7) == "_snr-7"
     assert snr_suffix(2.5) == "_snr2_5"
     assert snr_suffix(10.0) == "_snr10"
+
+
+def test_noise_bank_empty_roots_clear_error(tmp_path):
+    """Empty/missing noise roots fail at construction with the roots in
+    the message (not later with 'high <= 0' inside the batch loop)."""
+    from sos_tpu.data.sampling import NoiseBank
+
+    empty = tmp_path / "no_noise_here"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no noise WAVs"):
+        NoiseBank.from_roots([str(empty)], 14000)
+    with pytest.raises(ValueError, match="noise root"):
+        NoiseBank.from_roots([str(tmp_path / "missing")], 14000)
+
+
+def test_dataset_index_schema_error(tmp_path):
+    from sos_tpu.data.index import DatasetIndex
+
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"oops": 1}')
+    with pytest.raises(ValueError, match="dataset JSON"):
+        DatasetIndex.load(str(bad))
