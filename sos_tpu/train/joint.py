@@ -22,7 +22,6 @@ from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from sos_tpu.config import ExperimentConfig
 from sos_tpu.data.pipeline import device_mix_and_stft_denoiser
@@ -30,6 +29,7 @@ from sos_tpu.dsp.crm import apply_compressed_crm
 from sos_tpu.models import JointDenoiser, SilenceDetector
 from sos_tpu.train.loop import (
     _bce_with_logits,
+    guarded_update,
     init_denoiser_state,
     init_detector_state,
     make_optimizer,
@@ -82,8 +82,6 @@ def make_joint_train_step(cfg: ExperimentConfig, det_model: SilenceDetector,
             det_loss_fn, has_aux=True)(det_state.params)
         (den_loss, (den_stats, l1, l2)), den_grads = jax.value_and_grad(
             den_loss_fn, has_aux=True)(den_state.params)
-
-        from sos_tpu.train.loop import guarded_update
 
         guard = cfg.train.skip_nonfinite_updates
         det_params, det_opt, det_stats, det_fin = guarded_update(
