@@ -92,6 +92,18 @@ def shard_batchers_for_host(*batchers, cfg, pid: int, nproc: int):
     return batchers if len(batchers) > 1 else batchers[0]
 
 
+def default_calibration_path(denoiser_model_dir: str, profile,
+                             explicit: str = None):
+    """The int8 activation-scale file convention shared by the serving
+    CLIs: <denoiser model dir>/int8_calibration.json (None for non-int8
+    profiles; an explicit path always wins)."""
+    if explicit is not None:
+        return explicit
+    if profile != "int8":
+        return None
+    return os.path.join(denoiser_model_dir, "int8_calibration.json")
+
+
 def enable_compile_cache(path: str = None) -> None:
     """Persist compiled XLA programs across CLI invocations (first
     full-size compile over a remote chip is 30-120 s; cached reloads are

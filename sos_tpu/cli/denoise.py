@@ -61,11 +61,10 @@ def main() -> None:
 
     wav, _ = audio_io.load(args.input, sr=cfg.data.sample_rate)
     profile = args.profile or ("bf16" if args.bf16 else None)
-    calib = args.calibration_json
-    if calib is None and profile == "int8":
-        import os
+    from sos_tpu.cli.common import default_calibration_path
 
-        calib = os.path.join(den_dir, "int8_calibration.json")
+    calib = default_calibration_path(den_dir, profile,
+                                     args.calibration_json)
     stream = StreamingDenoiser(
         cfg, det_vars, den_vars, chunk_seconds=args.chunk_seconds,
         overlap_seconds=args.overlap_seconds, threshold=args.threshold,

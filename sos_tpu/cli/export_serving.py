@@ -53,9 +53,10 @@ def main() -> None:
     den_vars = load_denoiser_variables(cfg, den_dir, args.denoiser_ckpt,
                                        args.denoiser_pth)
 
-    calib = args.calibration_json
-    if calib is None and args.profile == "int8":
-        calib = os.path.join(den_dir, "int8_calibration.json")
+    from sos_tpu.cli.common import default_calibration_path
+
+    calib = default_calibration_path(den_dir, args.profile,
+                                     args.calibration_json)
 
     path = export_denoise_program(
         cfg, det_vars, den_vars, args.output, batch=args.batch,

@@ -53,11 +53,10 @@ def main() -> None:
                                        args.detector_pth)
     den_vars = load_denoiser_variables(cfg, den_dir, args.denoiser_ckpt,
                                        args.denoiser_pth)
-    calib = args.calibration_json
-    if calib is None and args.profile == "int8":
-        import os
+    from sos_tpu.cli.common import default_calibration_path
 
-        calib = os.path.join(den_dir, "int8_calibration.json")
+    calib = default_calibration_path(den_dir, args.profile,
+                                     args.calibration_json)
     stream = StreamingDenoiser(
         cfg, det_vars, den_vars, chunk_seconds=args.chunk_seconds,
         overlap_seconds=args.overlap_seconds, threshold=args.threshold,
@@ -84,7 +83,9 @@ def main() -> None:
             secs = len(wav) / cfg.data.sample_rate
             print(f"OK {dst} {secs:.2f} {wall:.2f}", flush=True)
         except Exception as exc:  # keep serving on bad requests
-            print(f"ERR {type(exc).__name__}: {exc}", flush=True)
+            # one-line protocol: JAX/XLA errors are routinely multi-line
+            msg = " ".join(str(exc).split())[:500]
+            print(f"ERR {type(exc).__name__}: {msg}", flush=True)
 
 
 if __name__ == "__main__":

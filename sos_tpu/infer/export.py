@@ -57,16 +57,15 @@ def export_denoise_program(
                                 clip_seconds=clip_seconds, profile=profile,
                                 calibration_path=calibration_path)
     if pipe._quant is not None:
-        if not (calibration_path and os.path.exists(calibration_path)):
+        if not calibration_path:
             raise ValueError(
                 "int8 export requires a calibration JSON (run the serving "
-                "pipeline once with calibration_path set, or pass scales "
-                "captured via QuantizedDenoiser.calibration_state())")
-        with open(calibration_path) as fp:
-            state = json.load(fp)
-        pipe._quant.load_calibration(state["denoiser"])
-        if pipe._quant_det is not None:
-            pipe._quant_det.load_calibration(state["detector"])
+                "pipeline once with calibration_path set — it writes "
+                "{'denoiser': scales, 'detector': scales} — then export "
+                "with the same path)")
+        # strict: exported scales must never depend on whatever batch
+        # happens to flow first, so a bad file is an error, not a retry
+        pipe.load_calibration_file(calibration_path, strict=True)
 
     det_vars, den_vars, run = pipe.detector_vars, pipe.denoiser_vars, pipe._run
 

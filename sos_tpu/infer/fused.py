@@ -225,21 +225,57 @@ class FusedDenoisePipeline:
             self._detect, self._denoise_bits = self._build_split()
         return self._denoise_bits(self.denoiser_vars, mixed, bits)
 
+    def load_calibration_file(self, path: str, strict: bool = False) -> bool:
+        """Load persisted int8 scales. Non-strict (serving): a missing,
+        truncated or wrong-schema file logs a warning and returns False —
+        the pipeline then self-calibrates and rewrites it. Strict
+        (export): raises ValueError naming the file and the problem."""
+        import json
+        import logging
+        import os
+
+        def _fail(msg):
+            if strict:
+                raise ValueError(f"calibration file {path}: {msg}")
+            logging.getLogger(__name__).warning(
+                "calibration file %s: %s — self-calibrating instead",
+                path, msg)
+            return False
+
+        if not os.path.exists(path):
+            return _fail("not found")
+        try:
+            with open(path) as fp:
+                state = json.load(fp)
+        except (OSError, ValueError) as exc:
+            return _fail(f"unreadable ({exc})")
+        if not isinstance(state, dict) or "denoiser" not in state:
+            return _fail(
+                'missing the "denoiser" key (expected the schema this '
+                "pipeline writes: {'denoiser': scales, 'detector': scales})")
+        try:
+            self._quant.load_calibration(state["denoiser"])
+            if self._quant_det is not None:
+                if "detector" not in state:
+                    return _fail('missing the "detector" scales this '
+                                 "two-stage pipeline needs")
+                self._quant_det.load_calibration(state["detector"])
+        except (KeyError, TypeError, ValueError) as exc:
+            # a partial load is harmless: _calibrated stays False and the
+            # next self-calibration overwrites every scale
+            return _fail(f"wrong scale schema ({type(exc).__name__}: {exc})")
+        return True
+
     def _maybe_calibrate(self, mixed) -> None:
         if self._quant is None or self._quant._calibrated:
             return
         import json
         import os
+        import tempfile
 
         path = self._calibration_path
-        if path and os.path.exists(path):
-            with open(path) as fp:
-                state = json.load(fp)
-            self._quant.load_calibration(state["denoiser"])
-            if self._quant_det is not None and "detector" in state:
-                self._quant_det.load_calibration(state["detector"])
-            if self._quant_det is None or self._quant_det._calibrated:
-                return
+        if path and self.load_calibration_file(path):
+            return
         spec = stft(jnp.asarray(mixed), self.cfg.stft.n_fft,
                     self.cfg.stft.hop_length, self.cfg.stft.win_length)
         if not self._quant._calibrated:
@@ -250,8 +286,18 @@ class FusedDenoisePipeline:
             state = {"denoiser": self._quant.calibration_state()}
             if self._quant_det is not None:
                 state["detector"] = self._quant_det.calibration_state()
-            with open(path, "w") as fp:
-                json.dump(state, fp, indent=1)
+            # atomic write: concurrent serving processes must never read
+            # a truncated file
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                                       suffix=".tmp")
+            try:
+                with os.fdopen(fd, "w") as fp:
+                    json.dump(state, fp, indent=1)
+                os.replace(tmp, path)
+            except OSError:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+                raise
 
     def shard(self, mesh, axis: str = "data") -> "FusedDenoisePipeline":
         """Serve batch-sharded over a device mesh (SPMD inference).

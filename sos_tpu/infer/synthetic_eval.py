@@ -81,6 +81,8 @@ def evaluate_synthetic(
                          scfg.win_length)
         clean_sig = istft(d["clean"], scfg.n_fft, scfg.hop_length,
                           scfg.win_length)
+        if not noisy_baseline:  # trace-time constant: skip the extra
+            return denoised, clean_sig, ()  # iSTFT + host transfer
         mixed_sig = istft(d["mixed"], scfg.n_fft, scfg.hop_length,
                           scfg.win_length)
         return denoised, clean_sig, mixed_sig

@@ -254,3 +254,39 @@ def test_fused_pipeline_calibration_file(setup, tmp_path):
     assert p2._quant.calibration_state() == p1._quant.calibration_state()
     out2b, _ = p2(mixed)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2b))
+
+
+def test_calibration_file_bad_schema_recovers(setup, tmp_path):
+    """A malformed calibration file logs and self-calibrates (serving),
+    but raises a clear error under strict loading (export)."""
+    from sos_tpu.config import (DataConfig, DetectorModelConfig,
+                                ExperimentConfig)
+    from sos_tpu.infer.fused import FusedDenoisePipeline
+    from sos_tpu.models import SilenceDetector
+
+    cfg_d, model, v, x, y = setup
+    det_cfg = DetectorModelConfig(nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
+                                  dilations=((1, 1), (2, 2)),
+                                  lstm_hidden=4, fc_hidden=4)
+    cfg = ExperimentConfig(detector=det_cfg, denoiser=cfg_d,
+                           data=DataConfig())
+    det = SilenceDetector(det_cfg)
+    dv = det.init(jr.PRNGKey(9), jnp.zeros((1, 256, 90, 2)))
+    mixed = jr.normal(jr.PRNGKey(10), (2, 28000)) * 0.2
+
+    bad = tmp_path / "bad_calib.json"
+    bad.write_text('{"oops": 1}')
+    p = FusedDenoisePipeline(cfg, dv, v, profile="int8",
+                             calibration_path=str(bad))
+    out, bits = p(mixed)  # recovers: self-calibrates + rewrites the file
+    assert np.isfinite(np.asarray(out)).all()
+    import json as _json
+    rewritten = _json.load(open(bad))
+    assert "denoiser" in rewritten and "detector" in rewritten
+
+    truncated = tmp_path / "trunc.json"
+    truncated.write_text('{"denoiser": {"enc_x"')
+    p2 = FusedDenoisePipeline(cfg, dv, v, profile="int8",
+                              calibration_path=str(truncated))
+    with pytest.raises(ValueError, match="trunc.json"):
+        p2.load_calibration_file(str(truncated), strict=True)
