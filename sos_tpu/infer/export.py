@@ -6,8 +6,11 @@ re-tracing at every start. Here the whole serving program — STFT ->
 detector -> silence mask -> quantized denoiser -> icRM -> iSTFT, weights
 embedded as constants — exports through `jax.export` with multi-platform
 lowering (TPU + CPU), so a serving process needs only jaxlib and the
-artifact: no model code, no checkpoint loading, no re-trace, and
-identical numerics everywhere the artifact runs.
+artifact: no model code, no checkpoint loading, no re-trace. Measured
+cross-platform fidelity (int8 artifact, TPU v5e vs CPU): identical
+detection bits, waveform max delta ~2e-3 (int8 requant rounding
+boundaries can differ at the ULP level between backends; f32 artifacts
+agree to float tolerance).
 
     path = export_denoise_program(cfg, det_vars, den_vars,
                                   "denoise_b128.jaxprog", batch=128,
