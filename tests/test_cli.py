@@ -230,3 +230,22 @@ def test_cli_serve_protocol(cli_env):
     assert lines[4].startswith("ERR")
     assert lines[5] == "BYE"
     assert os.path.exists(out1) and os.path.exists(out2)
+
+
+def test_train_flag_overrides(cli_env):
+    """--compute_dtype/--no_remat/--save_step_frequency flow into
+    TrainConfig."""
+    import argparse
+
+    from sos_tpu.cli.common import add_common_train_args, config_from_args
+
+    parser = argparse.ArgumentParser()
+    add_common_train_args(parser)
+    args = parser.parse_args(
+        ["--dataset_json", "x.json", "--compute_dtype", "bfloat16",
+         "--no_remat", "--save_step_frequency", "7",
+         "--config_json", cli_env["cfg"]])
+    cfg = config_from_args(args, stage="denoiser")
+    assert cfg.train.compute_dtype == "bfloat16"
+    assert cfg.train.remat is False
+    assert cfg.train.save_step_frequency == 7
