@@ -141,6 +141,30 @@ def train_report(rows, plot_path=None) -> None:
         print(f"wrote {plot_path}")
 
 
+def compare_evals(path_a: str, path_b: str) -> None:
+    """Per-SNR metric deltas between two eval JSONs (e.g. the f32 and
+    int8 outputs of `cli.eval_synthetic --out`): certifies a serving
+    profile's quality cost in one command."""
+    with open(path_a) as fp:
+        a = json.load(fp)
+    with open(path_b) as fp:
+        b = json.load(fp)
+    name_a = os.path.basename(path_a)
+    name_b = os.path.basename(path_b)
+    print(f"delta = {name_b} - {name_a}")
+    for snr_key in sorted(set(a) & set(b),
+                          key=lambda k: float(k.split("_", 1)[1])):
+        keys = [k for k in a[snr_key]
+                if k.startswith("avg_") and k in b[snr_key]]
+        deltas = " ".join(
+            f"{k.replace('avg_', '')}{b[snr_key][k] - a[snr_key][k]:+.4f}"
+            for k in keys)
+        print(f"{snr_key}: {deltas}")
+    only = sorted((set(a) | set(b)) - (set(a) & set(b)))
+    if only:
+        print(f"(SNRs present in only one file: {only})")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--results_dir", type=str, default=None)
@@ -148,12 +172,19 @@ def main() -> None:
     parser.add_argument("--train_log", type=str, default=None,
                         help="metrics.jsonl (or its log dir) from training")
     parser.add_argument("--train_plot", type=str, default=None)
+    parser.add_argument("--compare", type=str, nargs=2, default=None,
+                        metavar=("BASE.json", "OTHER.json"),
+                        help="print per-SNR metric deltas between two "
+                             "eval_synthetic --out files (profile "
+                             "certification)")
     args = parser.parse_args()
+    if args.compare:
+        compare_evals(*args.compare)
     if args.train_log:
         train_report(load_train_log(args.train_log), args.train_plot)
     if not args.results_dir:
-        if not args.train_log:
-            parser.error("need --results_dir and/or --train_log")
+        if not (args.train_log or args.compare):
+            parser.error("need --results_dir, --train_log and/or --compare")
         return
     table = collect(args.results_dir)
     if not table:

@@ -186,3 +186,19 @@ def test_synthetic_eval_noisy_baseline():
     assert np.isfinite(agg["noisy_avg_stoi"])
     # +10 dB mixtures: noisy baseline must beat a random-weight model
     assert agg["noisy_avg_overall_snr"] > agg["avg_overall_snr"]
+
+
+def test_report_compare_evals(tmp_path, capsys):
+    from sos_tpu.cli.report import compare_evals
+
+    a = {"snr_-10": {"avg_stoi": 0.5, "avg_pesq": 2.0, "num_clips": 4},
+         "snr_0": {"avg_stoi": 0.6, "avg_pesq": 2.5}}
+    b = {"snr_-10": {"avg_stoi": 0.49, "avg_pesq": 2.02},
+         "snr_10": {"avg_stoi": 0.7}}
+    pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+    pa.write_text(json.dumps(a))
+    pb.write_text(json.dumps(b))
+    compare_evals(str(pa), str(pb))
+    out = capsys.readouterr().out
+    assert "snr_-10: stoi-0.0100 pesq+0.0200" in out
+    assert "only one file" in out and "snr_0" in out and "snr_10" in out
