@@ -8,17 +8,28 @@ Protocol (stdin/stdout, one request per line):
 
     <input.wav>\t<output.wav>      denoise input -> output
     PING                           liveness check -> "PONG"
-    QUIT                           graceful shutdown
+    QUIT                           graceful shutdown (drains pending work)
 
 Responses: "OK <output> <seconds_of_audio> <wall_seconds>" or
 "ERR <message>". The pipeline (and its compiled programs + int8
 calibration) stays warm across requests — the reference's per-request
 cost of process start + retrace + checkpoint load disappears after the
 first request.
+
+The serve loop is a three-stage pipeline over bounded queues:
+
+    reader/decoder thread  ->  device compute (main)  ->  writer thread
+
+so the host decodes request N+1 and writes result N-1 WHILE the chip
+denoises request N — the chip never idles on request I/O. Responses to
+denoise requests are emitted in request order; PONG is emitted
+immediately by the reader (liveness must not queue behind compute).
 """
 
 import argparse
+import queue
 import sys
+import threading
 import time
 
 import numpy as np
@@ -29,6 +40,104 @@ from sos_tpu.cli.predict_detector import load_detector_variables
 from sos_tpu.cli.predict_denoiser import load_denoiser_variables
 from sos_tpu.dsp import audio_io
 from sos_tpu.infer.streaming import StreamingDenoiser
+
+_DONE = ("__done__", None, None)
+
+
+def _one_line(exc: Exception) -> str:
+    # one-line protocol: JAX/XLA errors are routinely multi-line
+    return f"{type(exc).__name__}: " + " ".join(str(exc).split())[:500]
+
+
+class ServeLoop:
+    """The request pipeline, decoupled from stdin/stdout for testing.
+
+    `denoise(wav) -> wav`, `load(path) -> (wav, sr)`,
+    `write(path, wav, sr)`, `emit(line)` are injectable.
+    """
+
+    def __init__(self, denoise, load, write, sample_rate: int,
+                 emit=None, depth: int = 4):
+        self.denoise = denoise
+        self.load = load
+        self.write = write
+        self.sample_rate = sample_rate
+        self.emit = emit or (lambda s: print(s, flush=True))
+        self.depth = depth
+
+    def run(self, lines) -> None:
+        q_dec: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        q_out: "queue.Queue" = queue.Queue(maxsize=self.depth)
+
+        def reader_decoder():
+            try:
+                for raw in lines:
+                    line = raw.strip()
+                    if not line:
+                        continue
+                    if line == "QUIT":
+                        break
+                    if line == "PING":
+                        self.emit("PONG")
+                        continue
+                    try:
+                        src, dst = line.split("\t")
+                    except ValueError:
+                        q_dec.put(("err", None,
+                                   f"bad request line: {line[:100]!r}"))
+                        continue
+                    t0 = time.perf_counter()
+                    try:
+                        wav, _ = self.load(src)
+                    except Exception as exc:
+                        q_dec.put(("err", None, _one_line(exc)))
+                        continue
+                    q_dec.put(("req", (dst, np.asarray(wav, np.float32), t0),
+                               None))
+            finally:
+                q_dec.put(_DONE)
+
+        def writer():
+            while True:
+                kind, payload, err = q_out.get()
+                if kind == "__done__":
+                    break
+                if kind == "err":
+                    self.emit(f"ERR {err}")
+                    continue
+                dst, out, secs, t0 = payload
+                try:
+                    self.write(dst, out, self.sample_rate)
+                except Exception as exc:
+                    self.emit(f"ERR {_one_line(exc)}")
+                    continue
+                wall = time.perf_counter() - t0
+                self.emit(f"OK {dst} {secs:.2f} {wall:.2f}")
+
+        rt = threading.Thread(target=reader_decoder, daemon=True)
+        wt = threading.Thread(target=writer, daemon=True)
+        rt.start()
+        wt.start()
+        try:
+            while True:
+                kind, payload, err = q_dec.get()
+                if kind == "__done__":
+                    break
+                if kind == "err":
+                    q_out.put(("err", None, err))
+                    continue
+                dst, wav, t0 = payload
+                try:
+                    out = self.denoise(wav)
+                except Exception as exc:  # keep serving on bad requests
+                    q_out.put(("err", None, _one_line(exc)))
+                    continue
+                q_out.put(("req", (dst, out, len(wav) / self.sample_rate,
+                                   t0), None))
+        finally:
+            q_out.put(_DONE)
+            wt.join()
+        self.emit("BYE")
 
 
 def main() -> None:
@@ -62,30 +171,13 @@ def main() -> None:
         overlap_seconds=args.overlap_seconds, threshold=args.threshold,
         profile=args.profile, calibration_path=calib)
 
+    loop = ServeLoop(
+        denoise=stream.denoise,
+        load=lambda p: audio_io.load(p, sr=cfg.data.sample_rate),
+        write=audio_io.write_wav,
+        sample_rate=cfg.data.sample_rate)
     print("READY", flush=True)
-    for line in sys.stdin:
-        line = line.strip()
-        if not line:
-            continue
-        if line == "QUIT":
-            print("BYE", flush=True)
-            return
-        if line == "PING":
-            print("PONG", flush=True)
-            continue
-        try:
-            src, dst = line.split("\t")
-            t0 = time.perf_counter()
-            wav, _ = audio_io.load(src, sr=cfg.data.sample_rate)
-            out = stream.denoise(wav.astype(np.float32))
-            audio_io.write_wav(dst, out, cfg.data.sample_rate)
-            wall = time.perf_counter() - t0
-            secs = len(wav) / cfg.data.sample_rate
-            print(f"OK {dst} {secs:.2f} {wall:.2f}", flush=True)
-        except Exception as exc:  # keep serving on bad requests
-            # one-line protocol: JAX/XLA errors are routinely multi-line
-            msg = " ".join(str(exc).split())[:500]
-            print(f"ERR {type(exc).__name__}: {msg}", flush=True)
+    loop.run(sys.stdin)
 
 
 if __name__ == "__main__":

@@ -149,6 +149,9 @@ class DataConfig:
     random_seed: int = 10               # m1 dataset.py:34
     pred_random_seed: int = 100         # m1 dataset.py:35
     despeckle_min_run: int = 5          # mask run-length filter (m1 tools.py:784-790)
+    # host LRU decode cache, in files: sized to hold AVSPEECH's 2,214-file
+    # train split resident (~1 GB of 14 kHz f32 at ~10 s/clip)
+    wav_cache_capacity: int = 2560
 
 
 @dataclasses.dataclass(frozen=True)

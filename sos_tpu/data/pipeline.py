@@ -97,17 +97,28 @@ def device_mix_and_stft_denoiser(
 
 
 class _WavCache:
-    """Decode-once cache of waveforms at the processing sample rate.
+    """LRU decode-once cache of waveforms at the processing sample rate.
+
+    Eviction is least-recently-USED (hits refresh recency), so a corpus
+    larger than `capacity` keeps its hot set resident instead of cycling
+    (FIFO would re-decode most files every epoch once the corpus exceeds
+    the capacity — AVSPEECH's train split is 2,214 files).
 
     With `use_native=True`, decode+resample run through the C++ engine
     (sos_tpu.runtime) when the library builds; falls back silently.
+    `prefetch_paths` bulk-decodes a batch's cache misses with the
+    engine's threaded `load_batch` so batch assembly pays one parallel
+    decode instead of serial per-file decodes.
     """
 
-    def __init__(self, sample_rate: int, capacity: int = 256,
+    def __init__(self, sample_rate: int, capacity: int = 2048,
                  use_native: bool = True):
+        import collections
+
         self.sample_rate = sample_rate
         self.capacity = capacity
-        self._store: Dict[str, np.ndarray] = {}
+        self._store: "collections.OrderedDict[str, np.ndarray]" = \
+            collections.OrderedDict()
         self._engine = None
         if use_native:
             try:
@@ -118,17 +129,49 @@ class _WavCache:
             except Exception:
                 self._engine = None
 
+    def _put(self, path: str, wav: np.ndarray) -> None:
+        while len(self._store) >= self.capacity:
+            self._store.popitem(last=False)
+        self._store[path] = wav
+
     def get(self, path: str) -> np.ndarray:
         hit = self._store.get(path)
-        if hit is None:
-            if self._engine is not None:
-                hit, _ = self._engine.load(path, sr=self.sample_rate)
-            else:
-                hit, _ = audio_io.load(path, sr=self.sample_rate)
-            if len(self._store) >= self.capacity:
-                self._store.pop(next(iter(self._store)))
-            self._store[path] = hit
-        return hit
+        if hit is not None:
+            self._store.move_to_end(path)
+            return hit
+        if self._engine is not None:
+            wav, _ = self._engine.load(path, sr=self.sample_rate)
+        else:
+            wav, _ = audio_io.load(path, sr=self.sample_rate)
+        self._put(path, wav)
+        return wav
+
+    def prefetch_paths(self, paths) -> None:
+        """Decode all cache misses among `paths` in one threaded native
+        call (no-op without the native engine — per-path `get` then
+        decodes serially as before)."""
+        missing = [p for p in dict.fromkeys(paths) if p not in self._store]
+        if self._engine is None or len(missing) < 2:
+            return
+        import math
+
+        max_out = 0
+        lengths_ok = True
+        for p in missing:
+            try:
+                native_sr, n = self._engine.info(p)
+            except OSError:
+                lengths_ok = False  # let get() surface the error per-file
+                break
+            g = math.gcd(self.sample_rate, native_sr)
+            up, down = self.sample_rate // g, native_sr // g
+            max_out = max(max_out, (n * up + down - 1) // down)
+        if not lengths_ok or max_out == 0:
+            return
+        buf, lengths = self._engine.load_batch(missing, self.sample_rate,
+                                               max_out)
+        for i, p in enumerate(missing):
+            self._put(p, buf[i, : lengths[i]].copy())
 
 
 class _BatcherBase:
@@ -149,7 +192,8 @@ class _BatcherBase:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
-        self.cache = _WavCache(data_cfg.sample_rate)
+        self.cache = _WavCache(data_cfg.sample_rate,
+                               capacity=data_cfg.wav_cache_capacity)
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -186,13 +230,41 @@ class _BatcherBase:
     def _bits(self, w) -> np.ndarray:
         raise NotImplementedError
 
+    def _draw_noise(self, rng, length: int):
+        """One item's noise/SNR draws — factored out so `iter_from` can
+        replay the exact rng stream of skipped batches without touching
+        the (expensive) waveform cache."""
+        track = self.noise.random_track(rng)
+        start = int(rng.integers(0, max(1, len(track) - length + 1)))
+        crop = track[start:start + length]
+        if self.cfg.snr_idx is None:
+            snr = self.cfg.snrs[int(rng.integers(0, len(self.cfg.snrs)))]
+        else:
+            snr = self.cfg.snrs[self.cfg.snr_idx]
+        return crop, snr
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate the epoch's deterministic batch order from batch
+        `start_batch` (exact mid-epoch resume). The skipped prefix replays
+        only the per-item rng draws — identical stream to a full epoch —
+        and never decodes audio, so resuming late in a large epoch is
+        index-speed, not assembly-speed."""
         rng = np.random.default_rng(self.seed * 7919 + self.epoch)
         order = self._order()
         length = self._clip_samples()
         n_full = len(self)
         for b in range(n_full):
             sel = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if b < start_batch:
+                for _ in sel:
+                    self._draw_noise(rng, length)
+                continue
+            # bulk-decode this batch's cache misses (threaded C++ engine)
+            self.cache.prefetch_paths(
+                [self.windows[wi].audio_path for wi in sel])
             clean = np.zeros((len(sel), length), dtype=np.float32)
             noise = np.zeros((len(sel), length), dtype=np.float32)
             snr = np.zeros((len(sel),), dtype=np.float32)
@@ -201,14 +273,8 @@ class _BatcherBase:
                 w = self.windows[wi]
                 clip = self._clean_clip(w)
                 clean[j, :len(clip)] = clip[:length]
-                track = self.noise.random_track(rng)
-                start = int(rng.integers(0, max(1, len(track) - length + 1)))
-                crop = track[start:start + length]
+                crop, snr[j] = self._draw_noise(rng, length)
                 noise[j, :len(crop)] = crop
-                if self.cfg.snr_idx is None:
-                    snr[j] = self.cfg.snrs[int(rng.integers(0, len(self.cfg.snrs)))]
-                else:
-                    snr[j] = self.cfg.snrs[self.cfg.snr_idx]
                 wb = self._bits(w)
                 bits[j, :len(wb)] = wb[:self.cfg.clip_frames]
             yield {"clean": clean, "noise": noise, "snr": snr, "bits": bits}

@@ -286,18 +286,28 @@ class FusedDenoisePipeline:
             state = {"denoiser": self._quant.calibration_state()}
             if self._quant_det is not None:
                 state["detector"] = self._quant_det.calibration_state()
-            # atomic write: concurrent serving processes must never read
-            # a truncated file
+            # Publish first-writer-wins: write the complete file to a tmp
+            # name, then hardlink it into place — link() fails atomically
+            # if another process already published, and the published
+            # file is always complete (never truncated mid-write). A
+            # loser ADOPTS the winner's scales so every concurrent
+            # serving process converges on one identical scale set.
             fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                        suffix=".tmp")
             try:
                 with os.fdopen(fd, "w") as fp:
                     json.dump(state, fp, indent=1)
-                os.replace(tmp, path)
-            except OSError:
+                try:
+                    os.link(tmp, path)
+                except FileExistsError:
+                    if not self.load_calibration_file(path):
+                        # the existing file is the unreadable one we
+                        # already rejected above — overwrite it
+                        os.replace(tmp, path)
+                        return
+            finally:
                 if os.path.exists(tmp):
                     os.unlink(tmp)
-                raise
 
     def shard(self, mesh, axis: str = "data") -> "FusedDenoisePipeline":
         """Serve batch-sharded over a device mesh (SPMD inference).

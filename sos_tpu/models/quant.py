@@ -247,6 +247,13 @@ class QuantInpaintParams:
         self.blocks: Dict[str, tuple] = {}
         self.out_kernel: Optional[jnp.ndarray] = None
 
+    # Concat inputs whose producer scales differ by more than this factor
+    # get their smaller-scale half's weights quantized against a max
+    # dominated by the other half — surfaced at finalize() so pathological
+    # checkpoints are visible (quality is certified per-checkpoint by
+    # measurement; see tests/test_quant.py).
+    CONCAT_SCALE_RATIO_WARN = 16.0
+
     def finalize(self) -> None:
         self.blocks = {}
         for name, kind, k, s, d in self.SPEC:
@@ -255,8 +262,19 @@ class QuantInpaintParams:
             cin = w_f.shape[2]
             assert cin % len(sources) == 0, (name, cin, sources)
             per = cin // len(sources)
-            s_in = np.repeat(np.asarray(
-                [self.out_scales[src] for src in sources], np.float64), per)
+            src_scales = [self.out_scales[src] for src in sources]
+            if len(src_scales) > 1:
+                ratio = max(src_scales) / max(min(src_scales), 1e-30)
+                if ratio > self.CONCAT_SCALE_RATIO_WARN:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "int8 concat block %r: producer activation scales "
+                        "differ by %.1fx (%s) — the smaller-scale half's "
+                        "weights lose int8 resolution; verify mask drift "
+                        "for this checkpoint", name, ratio,
+                        dict(zip(sources, src_scales)))
+            s_in = np.repeat(np.asarray(src_scales, np.float64), per)
             w_q, w_s = _quantize_weight_folded(w_f, s_in)
             s_out = self.out_scales[name]
             self.blocks[name] = (jnp.asarray(w_q),

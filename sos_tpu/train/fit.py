@@ -130,7 +130,8 @@ def fit(
     val_iter = cycle(lambda: iter(val_batcher)) if has_val else None
 
     start_epoch, start_minibatch = clock.epoch, clock.minibatch
-    with mesh:
+    try:
+      with mesh:
         state = distributed.replicate(state, replicated(mesh))
         for epoch in range(start_epoch, cfg.train.nr_epochs):
             train_batcher.set_epoch(epoch)
@@ -138,16 +139,22 @@ def fit(
             # thread while the device runs the current step (the
             # reference's 60-worker DataLoader, collapsed to what this
             # pipeline actually needs — assembly is indexing + memcpy).
-            src = iter(train_batcher)
-            if epoch == start_epoch and start_minibatch:
+            skip = start_minibatch if epoch == start_epoch else 0
+            if skip:
                 # exact mid-epoch resume: the batch order is epoch-seeded
                 # and deterministic, so skipping the completed minibatches
-                # continues the run bit-for-bit (assembly of the skipped
-                # batches is indexing-only; no device work)
+                # continues the run bit-for-bit. Batchers that support
+                # `iter_from` skip at the index level (rng replay only, no
+                # audio decode); plain iterables fall back to consuming
+                # the assembled prefix.
                 logging.getLogger(__name__).info(
-                    "resuming epoch %d at minibatch %d", epoch,
-                    start_minibatch)
-                src = itertools.islice(src, start_minibatch, None)
+                    "resuming epoch %d at minibatch %d", epoch, skip)
+            if skip and hasattr(train_batcher, "iter_from"):
+                src = train_batcher.iter_from(skip)
+            else:
+                src = iter(train_batcher)
+                if skip:
+                    src = itertools.islice(src, skip, None)
             for batch in prefetch(src, depth=2):
                 if profile_dir and clock.step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
@@ -209,6 +216,12 @@ def fit(
                 mgr.save_epoch(state, clock)
             if epoch_hook:
                 epoch_hook(epoch, state, epoch_metrics)
+    finally:
+        # exception-safe teardown (OOM/interrupt): the jsonl handle and
+        # the tensorboard writers must not leak buffered events
+        jsonl.close()
+        for writer in (train_tb, val_tb):
+            if writer is not None:
+                writer.close()
     mgr.save(state, clock, "latest")
-    jsonl.close()
     return state

@@ -249,3 +249,41 @@ def test_train_flag_overrides(cli_env):
     assert cfg.train.compute_dtype == "bfloat16"
     assert cfg.train.remat is False
     assert cfg.train.save_step_frequency == 7
+
+
+def test_serve_loop_overlaps_io_with_compute():
+    """The serve pipeline decodes request N+1 and writes result N-1 while
+    'the chip' computes request N: wall-clock for k queued requests
+    approaches max(stage)*k, not sum(stages)*k (serial)."""
+    import time
+
+    from sos_tpu.cli.serve import ServeLoop
+
+    D = 0.05  # per-stage latency (load / denoise / write)
+    k = 4
+    emitted = []
+
+    def load(path):
+        time.sleep(D)
+        return np.zeros(1400, np.float32), 14000
+
+    def denoise(wav):
+        time.sleep(D)
+        return wav
+
+    def write(path, wav, sr):
+        time.sleep(D)
+
+    loop = ServeLoop(denoise, load, write, 14000, emit=emitted.append)
+    reqs = [f"in{i}.wav\tout{i}.wav" for i in range(k)] + ["QUIT"]
+    t0 = time.perf_counter()
+    loop.run(iter(reqs))
+    wall = time.perf_counter() - t0
+
+    oks = [ln for ln in emitted if ln.startswith("OK ")]
+    assert len(oks) == k
+    assert [ln.split()[1] for ln in oks] == [f"out{i}.wav" for i in range(k)]
+    assert emitted[-1] == "BYE"
+    serial = 3 * D * k
+    # overlapped: ~(k+2)*D plus scheduling noise; assert well under serial
+    assert wall < serial * 0.75, (wall, serial)

@@ -231,3 +231,73 @@ def test_dataset_index_schema_error(tmp_path):
     bad.write_text('{"oops": 1}')
     with pytest.raises(ValueError, match="dataset JSON"):
         DatasetIndex.load(str(bad))
+
+
+def test_wav_cache_lru_eviction(tmp_path, monkeypatch):
+    """The decode cache is least-recently-USED: a hot file survives a
+    stream of one-shot files that exceeds capacity (FIFO would evict it
+    and re-decode every epoch at real-corpus scale)."""
+    from sos_tpu.data.pipeline import _WavCache
+
+    sr = 14000
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"c{i}.wav")
+        audio_io.write_wav(p, np.full(100, 0.01 * (i + 1), np.float32), sr)
+        paths.append(p)
+
+    cache = _WavCache(sr, capacity=3, use_native=False)
+    decodes = []
+    real_load = audio_io.load
+    monkeypatch.setattr(audio_io, "load",
+                        lambda p, sr=None: decodes.append(p) or real_load(p, sr=sr))
+
+    hot = paths[0]
+    cache.get(hot)
+    for p in paths[1:]:
+        cache.get(hot)   # refresh recency
+        cache.get(p)     # one-shot fill
+    assert decodes.count(hot) == 1, "LRU must keep the hot file resident"
+    # capacity is respected
+    assert len(cache._store) <= 3
+
+
+def test_wav_cache_prefetch_paths_native(tmp_path):
+    """Bulk prefetch decodes misses via the threaded native engine and
+    the cached waveforms match per-file decodes exactly."""
+    from sos_tpu.data.pipeline import _WavCache
+    from sos_tpu.runtime import native_available
+
+    if not native_available():
+        pytest.skip("native engine unavailable")
+    sr = 14000
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"p{i}.wav")
+        audio_io.write_wav(p, (rng.standard_normal(3000 + 500 * i) * 0.2
+                               ).astype(np.float32), sr)
+        paths.append(p)
+    cache = _WavCache(sr, capacity=8)
+    cache.prefetch_paths(paths)
+    assert set(cache._store) == set(paths)
+    ref = _WavCache(sr, capacity=8)
+    for p in paths:
+        np.testing.assert_allclose(cache.get(p), ref.get(p), atol=0)
+
+
+def test_batcher_iter_from_matches_full_iteration(tmp_path):
+    """iter_from(k) yields bit-for-bit the batches k.. of a full epoch
+    (exact mid-epoch resume without assembling the skipped prefix)."""
+    idx = _make_fixture(tmp_path, seconds=8.0)
+    cfg = DataConfig()
+    wins = detector_windows(idx.files, cfg.clip_frames)
+    mk = lambda: DetectorBatcher(wins, _noise_bank(), cfg, batch_size=2,
+                                 shuffle=True, seed=5)
+    full = list(mk())
+    assert len(full) >= 3
+    resumed = list(mk().iter_from(2))
+    assert len(resumed) == len(full) - 2
+    for a, b in zip(full[2:], resumed):
+        for k in ("clean", "noise", "snr", "bits"):
+            np.testing.assert_array_equal(a[k], b[k])

@@ -290,3 +290,49 @@ def test_calibration_file_bad_schema_recovers(setup, tmp_path):
                               calibration_path=str(truncated))
     with pytest.raises(ValueError, match="trunc.json"):
         p2.load_calibration_file(str(truncated), strict=True)
+
+
+def test_calibration_race_converges_on_winner(setup, tmp_path):
+    """Two serving processes racing to self-calibrate converge on ONE
+    scale set: publish is first-writer-wins (atomic hardlink of a
+    complete file) and the loser adopts the winner's scales."""
+    from sos_tpu.config import (DataConfig, DetectorModelConfig,
+                                ExperimentConfig)
+    from sos_tpu.infer.fused import FusedDenoisePipeline
+    from sos_tpu.models import SilenceDetector
+
+    cfg_d, model, v, x, y = setup
+    det_cfg = DetectorModelConfig(nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
+                                  dilations=((1, 1), (2, 2)),
+                                  lstm_hidden=4, fc_hidden=4)
+    cfg = ExperimentConfig(detector=det_cfg, denoiser=cfg_d,
+                           data=DataConfig())
+    det = SilenceDetector(det_cfg)
+    dv = det.init(jr.PRNGKey(9), jnp.zeros((1, 256, 90, 2)))
+    mixed = jr.normal(jr.PRNGKey(10), (2, 28000)) * 0.2
+
+    path = str(tmp_path / "calib.json")
+    p1 = FusedDenoisePipeline(cfg, dv, v, profile="int8",
+                              calibration_path=path)
+    p1(mixed)  # winner: publishes the file
+
+    p2 = FusedDenoisePipeline(cfg, dv, v, profile="int8",
+                              calibration_path=path)
+    # Simulate the race: p2 checked the path BEFORE p1 published (sees
+    # nothing), self-calibrates on DIFFERENT data, then collides at
+    # publish time.
+    orig = p2.load_calibration_file
+    raced = []
+
+    def load_after_race(p, strict=False):
+        if not raced:
+            raced.append(1)
+            return False  # file "absent" at p2's check time
+        return orig(p, strict=strict)
+
+    p2.load_calibration_file = load_after_race
+    p2(mixed * 5.0)
+    assert raced, "race branch must have been exercised"
+    assert p2._quant.calibration_state() == p1._quant.calibration_state()
+    assert (p2._quant_det.calibration_state()
+            == p1._quant_det.calibration_state())
