@@ -1,24 +1,35 @@
 """Headline benchmark: end-to-end denoise inference throughput on one chip.
 
-Measures the fused program waveform -> STFT -> JointDenoiser -> cRM
-inverse -> iSTFT -> waveform on batches of 2 s / 14 kHz clips (the
-reference's inference unit, m2 predict.py:405-526) and reports
-audio-seconds of denoised speech produced per wall-clock second per chip.
+The HEADLINE is the production two-stage program — ONE fused XLA program
+per batch of 2 s / 14 kHz clips:
 
-Three profiles are measured and reported:
+  waveform -> packed STFT -> int8 SilenceDetector -> threshold ->
+  bits -> sample mask (matmul despeckle) -> gated STFT ->
+  int8 JointDenoiser -> cRM inverse -> iSTFT -> waveform
+
+i.e. BASELINE.json's north star ("inference fuses STFT, detection, mask
+prediction, and iSTFT into one XLA program"), reported as audio-seconds
+of denoised speech per wall-clock second per chip.
+
+Profiles measured alongside (denoiser-only, mask given — the bound the
+two-stage program approaches as the detector tax shrinks):
   f32   — reference-exact numerics (NHWC fused pipeline);
   bf16  — bf16 conv trunks, f32 LSTM/mask head (drift bounded by
           tests/test_reference_parity.py: mask max drift < 0.05);
   int8  — int8 conv trunks (per-channel weights, calibrated static
           activation scales) + the packed (re,im) spectrum layout that
           removes every 2-wide-trailing-dim tensor (drift bounded by
-          tests/test_quant.py: mask drift ~1e-4 scale, far inside the
-          bf16 bound).
-The headline value is the int8 profile. Layout note: the packed pipeline
-(dsp.stft.stft_packed) is also why the former Pallas STFT kernel was
-dropped — measured 12.3 ms vs 1.5 ms for the packed jnp formulation at
-batch 128 on v5e: the bottleneck was the (F, T, 2) layout (2 lanes of
-128), not framing.
+          tests/test_quant.py: mask drift ~1e-4 scale).
+
+Two-stage tax anatomy (measured r3, batch 128, ms/iter): denoiser-only
+231; +detector int8 trunk ~35 (the XLA int8 conv emitter pads 48
+channels to 128 lanes per tap = 2.67x padded work at ~full MXU rate);
++resize/BiLSTM/FC head ~10; +bits->mask->gated-STFT serialization ~14.
+The despeckle run-filter is two MXU matmuls (dsp/mixing.py
+_despeckle_gap_matrix) — the generic segment-sum form cost ~50 ms here.
+The detector trunk at nf=64 (fast_detector_config) measured SLOWER than
+nf=48 under int8 (padding waste is paid either way; wider adds real
+FLOPs), so the two-stage profile keeps the reference width.
 
 Baseline: the driver's north-star target of 500x real-time per chip
 (BASELINE.json); `vs_baseline` = value / 500.
@@ -52,12 +63,15 @@ def main() -> None:
 
     from sos_tpu.config import ExperimentConfig, fast_denoiser_config
     from sos_tpu.dsp.crm import apply_compressed_crm, crm_sigmoid_recover
+    from sos_tpu.dsp.mixing import bitstream_to_sample_mask
     from sos_tpu.dsp.stft import istft, istft_packed, stft, stft_packed
-    from sos_tpu.models import JointDenoiser
-    from sos_tpu.models.quant import QuantizedDenoiser
+    from sos_tpu.models import JointDenoiser, SilenceDetector
+    from sos_tpu.models.quant import QuantizedDenoiser, QuantizedDetector
 
     cfg = ExperimentConfig(denoiser=fast_denoiser_config())
     samples = cfg.data.clip_seconds * cfg.data.sample_rate
+    num_frames = int(cfg.data.clip_seconds * cfg.data.frame_rate)
+    ratio = cfg.data.sample_rate / cfg.data.frame_rate
     t = 1 + samples // cfg.stft.hop_length
     batch = 128
     iters = 4
@@ -69,6 +83,10 @@ def main() -> None:
     init_model = JointDenoiser(cfg.denoiser)
     variables = jax.jit(
         lambda k: init_model.init(k, dummy, dummy, train=False))(rng)
+    det_model = SilenceDetector(cfg.detector)
+    det_vars = jax.jit(
+        lambda k: det_model.init(k, dummy, num_frames=num_frames,
+                                 train=False))(rng)
 
     k1, k2 = jax.random.split(rng)
     base = jax.random.normal(k1, (batch, samples), jnp.float32) * 0.1
@@ -123,9 +141,28 @@ def main() -> None:
     profiles["int8"] = round(
         _measure(scan_bench(step_int8), (stack, mask), audio_sec, iters), 2)
 
-    headline = profiles["int8"]
+    # --- two-stage fused headline (the production program) --------------
+    quant_det = QuantizedDetector(cfg.detector, det_vars)
+    quant_det.calibrate([stft(base[:8])])
+
+    def step_two_stage(mixed, _unused):
+        mr, mi = stft_packed(mixed)
+        logits = quant_det.logits_packed(mr, mi, num_frames)
+        bits = (jax.nn.sigmoid(logits) >= 0.5).astype(jnp.float32)
+        smask = bitstream_to_sample_mask(bits, ratio, samples,
+                                         cfg.data.despeckle_min_run)
+        gr, gi = stft_packed(mixed * smask)
+        cr, ci = quant.crm_packed(mr, mi, gr, gi)
+        rr, ri = crm_sigmoid_recover(cr), crm_sigmoid_recover(ci)
+        return istft_packed(rr * mr - ri * mi, rr * mi + ri * mr)
+
+    profiles["two_stage"] = round(
+        _measure(scan_bench(step_two_stage), (stack, mask), audio_sec,
+                 iters), 2)
+
+    headline = profiles["two_stage"]
     print(json.dumps({
-        "metric": "denoise_throughput",
+        "metric": "two_stage_denoise_throughput",
         "value": headline,
         "unit": "audio-sec/sec/chip",
         "vs_baseline": round(headline / 500.0, 4),

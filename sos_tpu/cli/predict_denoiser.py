@@ -52,6 +52,15 @@ def main() -> None:
                         help="batch same-bucket utterances per device "
                              "dispatch (needs --buckets)")
     parser.add_argument("--outputs", type=str, default=None)
+    parser.add_argument("--profile", type=str, default=None,
+                        choices=("f32", "bf16", "int8"),
+                        help="serving profile; every profile is "
+                             "bucketed-exact within itself (int8 drift vs "
+                             "f32 is bounded by tests/test_quant.py)")
+    parser.add_argument("--calibration_json", type=str, default=None,
+                        help="persisted int8 activation scales (defaults "
+                             "to the denoiser model dir's file when "
+                             "present)")
     args = parser.parse_args()
     if not args.unknown_clean_signal and args.snr is None:
         parser.error("--unknown_clean_signal false REQUIRES --snr")
@@ -60,7 +69,14 @@ def main() -> None:
     outputs = args.outputs or os.path.join(exp_dir, "outputs")
 
     variables = load_denoiser_variables(cfg, model_dir, args.ckpt, args.pth)
-    predictor = DenoiserPredictor(cfg, variables, buckets=args.buckets or None)
+    from sos_tpu.cli.common import default_calibration_path
+
+    calib = default_calibration_path(model_dir, args.profile,
+                                     args.calibration_json)
+    predictor = DenoiserPredictor(cfg, variables,
+                                  buckets=args.buckets or None,
+                                  profile=args.profile,
+                                  calibration_path=calib)
     out = evaluate_denoiser(cfg, predictor, args.pred_data, outputs,
                             snr=args.snr,
                             unknown_clean_signal=args.unknown_clean_signal,

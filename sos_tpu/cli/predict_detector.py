@@ -55,6 +55,15 @@ def main() -> None:
                         help="save wav + bitstream/confidence overlay plots "
                              "for mismatched or silent items "
                              "(m1 predict.py:150-183)")
+    parser.add_argument("--profile", type=str, default=None,
+                        choices=("f32", "bf16", "int8"),
+                        help="serving profile; every profile is "
+                             "bucketed-exact within itself (int8 drift vs "
+                             "f32 is bounded by tests/test_quant.py)")
+    parser.add_argument("--calibration_json", type=str, default=None,
+                        help="persisted int8 activation scales (defaults "
+                             "to the denoiser model dir's file when "
+                             "present)")
     args = parser.parse_args()
     cfg = config_from_args(args, stage="detector")
     exp_dir, _, model_dir = experiment_dirs(cfg, "detector")
@@ -66,8 +75,14 @@ def main() -> None:
     outputs = args.outputs or os.path.join(exp_dir, "outputs", os.path.basename(
         args.dataset_json).split(".json")[0])
     variables = load_detector_variables(cfg, model_dir, args.ckpt, args.pth)
+    from sos_tpu.cli.common import default_calibration_path
+    _, _, den_model_dir = experiment_dirs(cfg, "denoiser")
+    calib = default_calibration_path(den_model_dir, args.profile,
+                                     args.calibration_json)
     predictor = DetectorPredictor(cfg, variables, threshold=args.threshold,
-                                  buckets=args.buckets or None)
+                                  buckets=args.buckets or None,
+                                  profile=args.profile,
+                                  calibration_path=calib)
 
     clean_audio = not args.unknown_clean_signal
     noise = NoiseBank.from_roots(args.noise_root, cfg.data.sample_rate) \

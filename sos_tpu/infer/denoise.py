@@ -47,18 +47,67 @@ def _instance_memo(obj, key, build):
 
 class DenoiserPredictor:
     def __init__(self, cfg: ExperimentConfig, variables: Dict,
-                 buckets: Optional[Sequence[int]] = None):
+                 buckets: Optional[Sequence[int]] = None,
+                 profile: Optional[str] = None,
+                 calibration_path: Optional[str] = None):
+        """`profile`: None/"f32" (reference-exact), "bf16" (bf16 conv
+        trunks), "int8" (quantized trunks; drift bound ~1e-4 mask scale,
+        tests/test_quant.py). All profiles run the same exact
+        length-bucketed machinery — for int8 via the quantized valid_t
+        path (test_quantized_valid_t_bucketed_exact), so bucket choice
+        never changes results WITHIN a profile.
+
+        `calibration_path`: int8 activation-scale JSON (the schema
+        FusedDenoisePipeline persists); loaded when present, else the
+        predictor self-calibrates on its first utterance (deterministic
+        for a fixed eval set)."""
         self.cfg = cfg
-        self.model = JointDenoiser(cfg.denoiser)
+        compute_dtype = "bfloat16" if profile == "bf16" else "float32"
+        self.model = JointDenoiser(cfg.denoiser, compute_dtype=compute_dtype)
         self.variables = variables
         self.buckets = tuple(buckets) if buckets else None
+        self.profile = profile or "f32"
+        self._quant = None
+        self._calibration_path = calibration_path
+        if profile == "int8":
+            from sos_tpu.models.quant import QuantizedDenoiser
+
+            self._quant = QuantizedDenoiser(cfg.denoiser, variables,
+                                            inpaint_dtype="int8")
+
+    def _apply(self, variables, mixed_stft, gated_stft, valid_t=None):
+        if self._quant is not None:
+            return self._quant(mixed_stft, gated_stft, valid_t=valid_t)
+        return self.model.apply(variables, mixed_stft, gated_stft,
+                                train=False, valid_t=valid_t)
+
+    def _maybe_calibrate(self, mixed: np.ndarray, mask: np.ndarray) -> None:
+        if self._quant is None or self._quant._calibrated:
+            return
+        import json
+        import os
+
+        path = self._calibration_path
+        if path and os.path.exists(path):
+            try:
+                with open(path) as fp:
+                    state = json.load(fp)
+                self._quant.load_calibration(state["denoiser"])
+                return
+            except (OSError, ValueError, KeyError, TypeError):
+                pass  # unreadable/foreign file: self-calibrate below
+        scfg = self.cfg.stft
+        spec = stft(jnp.asarray(mixed)[None], scfg.n_fft, scfg.hop_length,
+                    scfg.win_length)
+        gated = stft(jnp.asarray(mixed * mask)[None], scfg.n_fft,
+                     scfg.hop_length, scfg.win_length)
+        self._quant.calibrate([(spec, gated)])
 
     def _compiled(self, *key):
         return _instance_memo(self, ("exact",) + key,
                               lambda: self._build_compiled(*key))
 
     def _build_compiled(self, num_samples: int):
-        model = self.model
         scfg = self.cfg.stft
 
         @jax.jit
@@ -66,8 +115,7 @@ class DenoiserPredictor:
             mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length, scfg.win_length)
             gated_stft = stft(mixed * mask, scfg.n_fft, scfg.hop_length,
                               scfg.win_length)
-            noise_pred, crm = model.apply(variables, mixed_stft, gated_stft,
-                                          train=False)
+            noise_pred, crm = self._apply(variables, mixed_stft, gated_stft)
             out_stft = apply_compressed_crm(mixed_stft, crm)
             return (istft(out_stft, scfg.n_fft, scfg.hop_length, scfg.win_length),
                     istft(noise_pred, scfg.n_fft, scfg.hop_length, scfg.win_length),
@@ -80,7 +128,6 @@ class DenoiserPredictor:
                               lambda: self._build_compiled_bucketed(*key))
 
     def _build_compiled_bucketed(self, bucket_t: int):
-        model = self.model
         scfg = self.cfg.stft
 
         @jax.jit
@@ -89,8 +136,8 @@ class DenoiserPredictor:
                               scfg.win_length, center=False)
             gated_stft = stft(gated_buf, scfg.n_fft, scfg.hop_length,
                               scfg.win_length, center=False)
-            noise_pred, crm = model.apply(variables, mixed_stft, gated_stft,
-                                          train=False, valid_t=valid_t)
+            noise_pred, crm = self._apply(variables, mixed_stft, gated_stft,
+                                          valid_t=valid_t)
             out_stft = apply_compressed_crm(mixed_stft, crm)
             kw = dict(n_fft=scfg.n_fft, hop_length=scfg.hop_length,
                       win_length=scfg.win_length, valid_t=valid_t)
@@ -125,6 +172,7 @@ class DenoiserPredictor:
             ratio, len(mixed), self.cfg.data.despeckle_min_run)
         out_len = (1 + len(mixed) // hop - 1) * hop
         mixed = mixed.astype(np.float32)
+        self._maybe_calibrate(mixed, mask)
 
         if self.buckets is None:
             run = self._compiled(len(mixed))
@@ -165,7 +213,6 @@ class DenoiserPredictor:
         which waveforms are materialised (device->host transfer is the
         bottleneck over a remote chip; eval only needs "denoised" unless
         it saves the intermediate wavs)."""
-        model = self.model
         scfg = self.cfg.stft
 
         def one(variables, mixed_buf, gated_buf, valid_t):
@@ -173,8 +220,8 @@ class DenoiserPredictor:
                               scfg.win_length, center=False)
             gated_stft = stft(gated_buf[None], scfg.n_fft, scfg.hop_length,
                               scfg.win_length, center=False)
-            noise_pred, crm = model.apply(variables, mixed_stft, gated_stft,
-                                          train=False, valid_t=valid_t)
+            noise_pred, crm = self._apply(variables, mixed_stft, gated_stft,
+                                          valid_t=valid_t)
             out_stft = apply_compressed_crm(mixed_stft, crm)
             kw = dict(n_fft=scfg.n_fft, hop_length=scfg.hop_length,
                       win_length=scfg.win_length, valid_t=valid_t)
@@ -211,6 +258,14 @@ class DenoiserPredictor:
         n_fft = self.cfg.stft.n_fft
         pad = n_fft // 2
         ratio = float(sr) / framerate
+
+        if self._quant is not None and mixed_list:
+            m0 = np.asarray(mixed_list[0], np.float32)
+            mask0 = bitstream_to_sample_mask_np(
+                np.asarray([0 if c == "0" else 1 for c in bits_list[0]],
+                           np.float32),
+                ratio, len(m0), self.cfg.data.despeckle_min_run)
+            self._maybe_calibrate(m0, mask0)
 
         groups: Dict[int, list] = {}
         for i, m in enumerate(mixed_list):

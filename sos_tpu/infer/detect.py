@@ -50,12 +50,62 @@ def _instance_memo(obj, key, build):
 class DetectorPredictor:
     def __init__(self, cfg: ExperimentConfig, variables: Dict,
                  threshold: float = 0.5,
-                 buckets: Optional[Sequence[int]] = None):
+                 buckets: Optional[Sequence[int]] = None,
+                 profile: Optional[str] = None,
+                 calibration_path: Optional[str] = None):
+        """`profile`: None/"f32", "bf16" (bf16 conv trunk; prob drift
+        < 0.05, <=2% decision flips — tests/test_reference_parity.py) or
+        "int8" (quantized trunk). Every profile runs the same exact
+        length-bucketed machinery (int8 via the quantized valid_t path,
+        test_quantized_detector_valid_t_bucketed_exact). `calibration_path`
+        loads persisted int8 scales (FusedDenoisePipeline's schema); else
+        the predictor self-calibrates on its first utterance."""
         self.cfg = cfg
-        self.model = SilenceDetector(cfg.detector)
+        compute_dtype = "bfloat16" if profile == "bf16" else "float32"
+        self.model = SilenceDetector(cfg.detector,
+                                     compute_dtype=compute_dtype)
         self.variables = variables
         self.threshold = threshold
         self.buckets = tuple(sorted(buckets)) if buckets else None
+        self.profile = profile or "f32"
+        self._quant = None
+        self._calibration_path = calibration_path
+        if profile == "int8":
+            from sos_tpu.models.quant import QuantizedDetector
+
+            self._quant = QuantizedDetector(cfg.detector, variables)
+
+    def _apply_conf(self, variables, spec, num_frames, valid_t=None,
+                    valid_frames=None):
+        if self._quant is not None:
+            logits = self._quant(spec, num_frames, valid_t=valid_t,
+                                 valid_frames=valid_frames)
+        else:
+            logits = self.model.apply(variables, spec,
+                                      num_frames=num_frames, train=False,
+                                      valid_t=valid_t,
+                                      valid_frames=valid_frames)
+        return jax.nn.sigmoid(logits)
+
+    def _maybe_calibrate(self, waveform: np.ndarray) -> None:
+        if self._quant is None or self._quant._calibrated:
+            return
+        import json
+        import os
+
+        path = self._calibration_path
+        if path and os.path.exists(path):
+            try:
+                with open(path) as fp:
+                    state = json.load(fp)
+                self._quant.load_calibration(state["detector"])
+                return
+            except (OSError, ValueError, KeyError, TypeError):
+                pass  # unreadable/foreign file: self-calibrate below
+        scfg = self.cfg.stft
+        spec = stft(jnp.asarray(waveform, jnp.float32)[None], scfg.n_fft,
+                    scfg.hop_length, scfg.win_length)
+        self._quant.calibrate([spec])
 
     # -- exact (per-length) mode --------------------------------------------
 
@@ -66,15 +116,12 @@ class DetectorPredictor:
     def _build_compiled(self, padded_samples: int, num_frames: int):
         # padded_samples participates only as the compile-cache key — the
         # actual length is captured from the traced waveform shape.
-        model = self.model
 
         @jax.jit
         def run(variables, waveform):
             spec = stft(waveform, self.cfg.stft.n_fft,
                         self.cfg.stft.hop_length, self.cfg.stft.win_length)
-            logits = model.apply(variables, spec, num_frames=num_frames,
-                                 train=False)
-            return jax.nn.sigmoid(logits)
+            return self._apply_conf(variables, spec, num_frames)
 
         return run
 
@@ -85,17 +132,15 @@ class DetectorPredictor:
                               lambda: self._build_compiled_bucketed(*key))
 
     def _build_compiled_bucketed(self, bucket_t: int, frames_bucket: int):
-        model = self.model
         scfg = self.cfg.stft
 
         @jax.jit
         def run(variables, padded_signal, valid_t, valid_frames):
             spec = stft(padded_signal, scfg.n_fft, scfg.hop_length,
                         scfg.win_length, center=False)
-            logits = model.apply(variables, spec, num_frames=frames_bucket,
-                                 train=False, valid_t=valid_t,
-                                 valid_frames=valid_frames)
-            return jax.nn.sigmoid(logits)
+            return self._apply_conf(variables, spec, frames_bucket,
+                                    valid_t=valid_t,
+                                    valid_frames=valid_frames)
 
         return run
 
@@ -110,6 +155,7 @@ class DetectorPredictor:
         """(mixed waveform @14kHz, #video frames) -> (bits, confidences)."""
         hop = self.cfg.stft.hop_length
         n_fft = self.cfg.stft.n_fft
+        self._maybe_calibrate(waveform)
         if self.buckets is None:
             run = self._compiled(len(waveform), num_frames)
             conf = np.asarray(run(self.variables,
@@ -144,16 +190,14 @@ class DetectorPredictor:
                                    batch: int):
         """One program per (bucket, frame-bucket, batch tile): vmap of the
         single-item bucketed program with per-item valid lengths."""
-        model = self.model
         scfg = self.cfg.stft
 
         def one(variables, padded_signal, valid_t, valid_frames):
             spec = stft(padded_signal[None], scfg.n_fft, scfg.hop_length,
                         scfg.win_length, center=False)
-            logits = model.apply(variables, spec, num_frames=frames_bucket,
-                                 train=False, valid_t=valid_t,
-                                 valid_frames=valid_frames)
-            return jax.nn.sigmoid(logits)[0]
+            return self._apply_conf(variables, spec, frames_bucket,
+                                    valid_t=valid_t,
+                                    valid_frames=valid_frames)[0]
 
         return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
 
@@ -177,6 +221,8 @@ class DetectorPredictor:
         if self.buckets is None:
             return [self.predict_waveform(w, n)
                     for w, n in zip(waveforms, num_frames)]
+        if waveforms:
+            self._maybe_calibrate(np.asarray(waveforms[0], np.float32))
         hop = self.cfg.stft.hop_length
         n_fft = self.cfg.stft.n_fft
         pad = n_fft // 2

@@ -84,15 +84,31 @@ class StreamingDenoiser:
             denoised_chunks = self._one_pass(chunks)
 
         total = starts[-1] + self.valid
-        acc = np.zeros(total, dtype=np.float32)
-        wsum = np.zeros(total, dtype=np.float32)
         w = self._weights()
-        for i, s in enumerate(starts):
-            acc[s:s + self.valid] += denoised_chunks[i] * w
-            wsum[s:s + self.valid] += w
+        acc = self._overlap_add(denoised_chunks * w, total)
+        wsum = self._overlap_add(np.broadcast_to(w, denoised_chunks.shape),
+                                 total)
         nz = wsum > 1e-8
         acc[nz] /= wsum[nz]
         return acc[:n]
+
+    def _overlap_add(self, weighted: np.ndarray, total: int) -> np.ndarray:
+        """Vectorized overlap-add: chunk i occupies [i*stride, i*stride+valid).
+
+        Decompose each chunk into K = ceil(valid/stride) stride-aligned
+        phase blocks; phase p of chunk i lands exactly on output block
+        i+p, so the whole accumulation is K whole-utterance vector adds
+        instead of a per-chunk Python loop (K == 2 for the default
+        2 s / 0.5 s chunking)."""
+        n_chunks = len(weighted)
+        k = -(-self.valid // self.stride)
+        padded = np.zeros((n_chunks, k * self.stride), dtype=np.float32)
+        padded[:, : self.valid] = weighted
+        blocks = padded.reshape(n_chunks, k, self.stride)
+        acc = np.zeros((n_chunks + k - 1, self.stride), dtype=np.float32)
+        for p in range(k):
+            acc[p : p + n_chunks] += blocks[:, p, :]
+        return acc.reshape(-1)[:total]
 
     # ------------------------------------------------------------------
 

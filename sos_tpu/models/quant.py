@@ -148,13 +148,25 @@ def _conv_same(x: jnp.ndarray, w: jnp.ndarray, dilation: Tuple[int, int],
 
 
 def _run_encoder_int8(enc: "QuantEncoderParams", specs, x: jnp.ndarray,
-                      packed: bool = False) -> jnp.ndarray:
+                      packed: bool = False, valid_t=None) -> jnp.ndarray:
     """Int8-resident conv-trunk runner (ContextAggNet encoders + detector
     trunk). `packed=True`: x is (B, 2, F, T); the first conv consumes it
     via an NCHW lhs spec. Returns float32 NHWC activations of the proj
-    block (the only f32 tensor: it feeds the float head)."""
+    block (the only f32 tensor: it feeds the float head).
+
+    `valid_t` (traced scalar; NHWC only): exact length-bucketed variant —
+    the time tail >= valid_t is re-zeroed after every requant exactly as
+    the float encoders re-zero after every block (models/denoiser.py
+    _encoder), so SAME padding behaves like the unpadded program. Int8
+    zero IS real zero (symmetric quantization), so the masking is exact."""
     assert enc.blocks, "finalize() must run before the first forward"
-    h_q = _quantize_act(x.astype(jnp.float32), enc.act_scales[0])
+    assert valid_t is None or not packed, "valid_t requires NHWC layout"
+    tmask = None
+    x = x.astype(jnp.float32)
+    if valid_t is not None:
+        tmask = (jnp.arange(x.shape[2]) < valid_t)[None, None, :, None]
+        x = x * tmask.astype(x.dtype)
+    h_q = _quantize_act(x, enc.act_scales[0])
     h = None
     for i, ((w_q, w_s, b, requant), (ks, dil)) in enumerate(
             zip(enc.blocks, specs)):
@@ -165,8 +177,10 @@ def _run_encoder_int8(enc: "QuantEncoderParams", specs, x: jnp.ndarray,
         if requant:
             # epilogue quant: 1/s_out already folded into w_s and b
             h_q = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+            if tmask is not None:
+                h_q = h_q * tmask.astype(jnp.int8)
         else:
-            h = y
+            h = y if tmask is None else y * tmask.astype(y.dtype)
     return h
 
 
@@ -336,34 +350,69 @@ class QuantizedDenoiser:
 
     # -- InpaintNet (quantized) ------------------------------------------
 
-    def _inpaint_geometry(self, gated, mixed, blk):
+    def _inpaint_geometry(self, gated, mixed, blk, valid_t=None):
         """The InpaintNet dataflow with pluggable per-block op `blk` —
         written once so the int8 pass and the float calibration pass can
         never diverge geometrically (models/denoiser.py InpaintNet).
         For the int8 pass, `gated`/`mixed` arrive PRE-QUANTIZED int8 and
-        every block emits int8 (int8-resident activations)."""
-        from sos_tpu.ops.resize import nearest_resize_2d
+        every block emits int8 (int8-resident activations).
 
-        d1 = blk("a_in", gated)
-        d2 = blk("a_d2", blk("a_d1", d1))
-        d3 = blk("b_in", mixed)
-        d4 = blk("b_d2", blk("b_d1", d3))
+        `valid_t` (traced scalar; int8 pass only): the exact
+        length-bucketed variant — `blk(name, x, v)` must return
+        (y, v_out) and the junction resizes map valid->valid with the
+        dynamic nearest rule, mirroring models/denoiser.py InpaintNet's
+        valid chain exactly."""
+        from sos_tpu.ops.resize import (dynamic_nearest_time,
+                                        nearest_resize_1d, nearest_resize_2d)
+
+        def call(nm, x, v):
+            if valid_t is None:
+                return blk(nm, x), None
+            return blk(nm, x, v)
+
+        d1, v = call("a_in", gated, valid_t)
+        x, v2 = call("a_d1", d1, v)
+        d2, v2 = call("a_d2", x, v2)
+        d3, v3b = call("b_in", mixed, valid_t)
+        x, v4 = call("b_d1", d3, v3b)
+        d4, v4 = call("b_d2", x, v4)
         x = jnp.concatenate([d2, d4], axis=-1)
+        vm = v4
         for nm in ("mid0", "mid1", "mid_dil2", "mid_dil4", "mid_dil8",
                    "mid_dil16", "mid2", "mid3", "mid_up"):
-            x = blk(nm, x)
-        if x.shape[1:3] != d4.shape[1:3]:
-            x = nearest_resize_2d(x, d4.shape[1:3], h_axis=1, w_axis=2)
+            x, vm = call(nm, x, vm)
+        if valid_t is None:
+            if x.shape[1:3] != d4.shape[1:3]:
+                x = nearest_resize_2d(x, d4.shape[1:3], h_axis=1, w_axis=2)
+        else:
+            x = nearest_resize_1d(x, d4.shape[1], axis=1)
+            x = dynamic_nearest_time(x, vm, v4, d4.shape[2])
         x = jnp.concatenate([x, d4], axis=-1)
-        x = blk("up1_up", blk("up1_conv", x))
-        if x.shape[1:3] != d3.shape[1:3]:
-            x = nearest_resize_2d(x, d3.shape[1:3], h_axis=1, w_axis=2)
+        x, vu = call("up1_conv", x, v4)
+        x, vu = call("up1_up", x, vu)
+        if valid_t is None:
+            if x.shape[1:3] != d3.shape[1:3]:
+                x = nearest_resize_2d(x, d3.shape[1:3], h_axis=1, w_axis=2)
+        else:
+            x = nearest_resize_1d(x, d3.shape[1], axis=1)
+            x = dynamic_nearest_time(x, vu, v3b, d3.shape[2])
         x = jnp.concatenate([x, d3], axis=-1)
-        x = blk("up2_conv", x)
+        x, vf = call("up2_conv", x, v3b)
         # pad in the narrow dtype (int8 for the quantized pass), convert
         # at the conv input where XLA fuses it
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                     mode="reflect").astype(jnp.float32)
+        if valid_t is None:
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                         mode="reflect")
+        else:
+            from sos_tpu.models.layers import reflect_time_tail, \
+                zero_time_tail
+
+            x = zero_time_tail(x, vf)
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 0), (0, 0)),
+                         mode="reflect")
+            xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 1), (0, 0)))
+            xp = reflect_time_tail(xp, vf, 1, offset=1)
+        xp = xp.astype(jnp.float32)
         out_spec = "NCHW" if self._packed else "NHWC"
         # float head; for the int8 pass the input dequant scale is folded
         # into out_kernel by finalize()
@@ -374,7 +423,10 @@ class QuantizedDenoiser:
             dimension_numbers=("NHWC", "HWIO", out_spec),
             preferred_element_type=jnp.float32)
         bias = self.qinpaint.out_bias
-        return y + (bias[None, :, None, None] if self._packed else bias)
+        y = y + (bias[None, :, None, None] if self._packed else bias)
+        if valid_t is not None:
+            y = zero_time_tail(y, vf)  # k=3,p=1,s=1: valid_out == vf
+        return y
 
     @staticmethod
     def _up_pads(k: int) -> Tuple[int, int]:
@@ -382,35 +434,67 @@ class QuantizedDenoiser:
         pad_amt = k - 1 - p
         return pad_amt, pad_amt + 1  # output_padding=1 (reference quirk)
 
-    def _inpaint_block_int8(self, name: str, x_q: jnp.ndarray) -> jnp.ndarray:
-        """Consumes int8 (producer-scaled), emits int8 (own out scale)."""
+    def _inpaint_block_int8(self, name: str, x_q: jnp.ndarray, v=None):
+        """Consumes int8 (producer-scaled), emits int8 (own out scale).
+
+        With `v` (traced valid width): the exact length-bucketed variant —
+        tail zeroing + dynamic-boundary reflection mirror
+        layers.DownConvBlock/UpConvBlock's valid paths on the int8
+        tensors (int8 zero is exact zero; reflection copies values), and
+        the propagated valid width is returned: (y_q, v_out)."""
         qp = self.qinpaint
         kind, k, s, d = _INPAINT_BY_NAME[name]
         w_q, w_s, b, alpha = qp.blocks[name]
         packed_in = self._packed and name in ("a_in", "b_in")
+        assert v is None or not packed_in, "valid_t requires NHWC layout"
         if kind == "down":
             pad = (k - 1) // 2 * d
-            spatial = ((2, 3) if packed_in else (1, 2))
-            pads = [(0, 0)] * 4
-            for ax in spatial:
-                pads[ax] = (pad, pad)
-            x_q = jnp.pad(x_q, pads, mode="reflect")
+            if v is None:
+                spatial = ((2, 3) if packed_in else (1, 2))
+                pads = [(0, 0)] * 4
+                for ax in spatial:
+                    pads[ax] = (pad, pad)
+                x_q = jnp.pad(x_q, pads, mode="reflect")
+            else:
+                from sos_tpu.models.layers import reflect_time_tail, \
+                    zero_time_tail
+
+                x_q = zero_time_tail(x_q, v)
+                x_q = jnp.pad(x_q, ((0, 0), (pad, pad), (pad, 0), (0, 0)),
+                              mode="reflect")
+                x_q = jnp.pad(x_q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                x_q = reflect_time_tail(x_q, v, pad, offset=pad)
             acc = jax.lax.conv_general_dilated(
                 x_q, w_q, (s, s), "VALID", rhs_dilation=(d, d),
                 dimension_numbers=("NCHW" if packed_in else "NHWC",
                                    "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
+            v_out = None if v is None else \
+                (v + 2 * pad - (d * (k - 1) + 1)) // s + 1
         else:  # transposed conv: lhs-dilated conv with flipped kernel
+            if v is not None:
+                from sos_tpu.models.layers import zero_time_tail
+
+                # zeroed tail contributes nothing to the transposed conv
+                x_q = zero_time_tail(x_q, v)
             lo, hi = self._up_pads(k)
             acc = jax.lax.conv_general_dilated(
                 x_q, w_q[::-1, ::-1], (1, 1), ((lo, hi), (lo, hi)),
                 lhs_dilation=(s, s),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
+            # output_padding=1 quirk: valid_out = (v-1)*s - 2p + k + 1
+            v_out = None if v is None else \
+                (v - 1) * s - 2 * ((k - 1) // 2) + k + 1
         # fused epilogue: dequant+bias (1/s_out pre-folded), PReLU, requant
         y = acc.astype(jnp.float32) * w_s + b
         y = jnp.where(y >= 0, y, alpha * y)
-        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+        y_q = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+        if v is None:
+            return y_q
+        from sos_tpu.models.layers import zero_time_tail
+
+        return zero_time_tail(y_q, v_out), v_out
 
     def _inpaint_block_float(self, name: str, x: jnp.ndarray,
                              record: Dict) -> jnp.ndarray:
@@ -445,14 +529,20 @@ class QuantizedDenoiser:
         record[name] = max(record.get(name, 0.0), float(jnp.max(jnp.abs(y))))
         return y
 
-    def _inpaint_int8(self, gated, mixed) -> jnp.ndarray:
+    def _inpaint_int8(self, gated, mixed, valid_t=None) -> jnp.ndarray:
         qp = self.qinpaint
-        gated_q = _quantize_act(gated.astype(jnp.float32),
-                                qp.out_scales["__gated__"])
-        mixed_q = _quantize_act(mixed.astype(jnp.float32),
-                                qp.out_scales["__mixed__"])
+        gated = gated.astype(jnp.float32)
+        mixed = mixed.astype(jnp.float32)
+        if valid_t is not None:
+            from sos_tpu.models.layers import zero_time_tail
+
+            gated = zero_time_tail(gated, valid_t)
+            mixed = zero_time_tail(mixed, valid_t)
+        gated_q = _quantize_act(gated, qp.out_scales["__gated__"])
+        mixed_q = _quantize_act(mixed, qp.out_scales["__mixed__"])
         return self._inpaint_geometry(gated_q, mixed_q,
-                                      self._inpaint_block_int8)
+                                      self._inpaint_block_int8,
+                                      valid_t=valid_t)
 
     # -- packed serving entry ---------------------------------------------
 
@@ -487,11 +577,11 @@ class QuantizedDenoiser:
         h = h.reshape(bsz, t, 2, cfg.freq_bins)
         return h[:, :, 0, :], h[:, :, 1, :]
 
-    def _run_inpaint(self, gated, mixed) -> jnp.ndarray:
+    def _run_inpaint(self, gated, mixed, valid_t=None) -> jnp.ndarray:
         if self.inpaint_mode == "int8":
-            return self._inpaint_int8(gated, mixed)
+            return self._inpaint_int8(gated, mixed, valid_t)
         return self.inpaint.apply(self.inpaint_vars, gated, mixed,
-                                  train=False)
+                                  train=False, valid_t=valid_t)
 
     # -- calibration ---------------------------------------------------
 
@@ -567,34 +657,38 @@ class QuantizedDenoiser:
     # -- forward ---------------------------------------------------------
 
     def _encoder_int8(self, enc: QuantEncoderParams, x: jnp.ndarray,
-                      packed: bool = False) -> jnp.ndarray:
+                      packed: bool = False, valid_t=None) -> jnp.ndarray:
         """`packed=True`: x is (B, 2, F, T) — the layout-friendly spectrum
         packing (the (F, T, 2) layout pads its 2-wide trailing dim to 128
         lanes). Only the first conv consumes it (NCHW lhs spec)."""
         specs = list(zip(self.cfg.kernel_sizes, self.cfg.dilations)) \
             + [((1, 1), (1, 1))]
-        h = _run_encoder_int8(enc, specs, x, packed)
+        h = _run_encoder_int8(enc, specs, x, packed, valid_t=valid_t)
         bsz, f, t, c = h.shape
         return jnp.transpose(h, (0, 2, 3, 1)).reshape(bsz, t, c * f)
 
-    def __call__(self, mixed: jnp.ndarray, gated_noise: jnp.ndarray
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, mixed: jnp.ndarray, gated_noise: jnp.ndarray,
+                 valid_t=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """`valid_t` (traced scalar) enables exact length-bucketed
+        inference like `JointDenoiser.apply(..., valid_t=...)`: outputs
+        beyond valid_t are garbage and must be masked by callers."""
         assert self._calibrated, "call calibrate() before the first forward"
         cfg = self.cfg
-        noise_pred = self._run_inpaint(gated_noise, mixed)
-        f_x = self._encoder_int8(self.enc_x, mixed)
-        f_n = self._encoder_int8(self.enc_n, noise_pred)
-        h = self._head(f_x, f_n)
+        noise_pred = self._run_inpaint(gated_noise, mixed, valid_t)
+        f_x = self._encoder_int8(self.enc_x, mixed, valid_t=valid_t)
+        f_n = self._encoder_int8(self.enc_n, noise_pred, valid_t=valid_t)
+        h = self._head(f_x, f_n, valid_t=valid_t)
         bsz, t, _ = h.shape
         h = h.reshape(bsz, t, 2, cfg.freq_bins)
         crm = jnp.transpose(h, (0, 3, 1, 2))
         return noise_pred, crm
 
-    def _head(self, f_x: jnp.ndarray, f_n: jnp.ndarray) -> jnp.ndarray:
+    def _head(self, f_x: jnp.ndarray, f_n: jnp.ndarray,
+              valid_t=None) -> jnp.ndarray:
         cfg = self.cfg
         h = jnp.concatenate([f_x, f_n], axis=-1)
         h = BiLSTM(hidden=cfg.lstm_hidden).apply(
-            {"params": self.head_params["lstm"]}, h)
+            {"params": self.head_params["lstm"]}, h, valid_len=valid_t)
         h = jax.nn.relu(TorchLinear(cfg.fc_hidden).apply(
             {"params": self.head_params["fc0"]}, h))
         h = jax.nn.relu(TorchLinear(cfg.fc_hidden).apply(
@@ -648,24 +742,37 @@ class QuantizedDetector:
         self.enc.finalize()
         self._calibrated = True
 
-    def _head(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    def _head(self, x: jnp.ndarray, num_frames: int, valid_t=None,
+              valid_frames=None) -> jnp.ndarray:
         from sos_tpu.ops.resize import nearest_resize_1d
 
         cfg = self.cfg
         bsz, f, t, c = x.shape
         x = jnp.transpose(x, (0, 2, 3, 1)).reshape(bsz, t, c * f)
-        x = nearest_resize_1d(x, num_frames, axis=1).astype(jnp.float32)
+        if valid_t is None:
+            x = nearest_resize_1d(x, num_frames, axis=1)
+        else:
+            # exact dynamic nearest resample onto [0, valid_t) — same
+            # integer floor rule as models/detector.py:84-89
+            vf = valid_frames if valid_frames is not None else num_frames
+            idx = (jnp.arange(num_frames, dtype=jnp.int32)
+                   * jnp.asarray(valid_t, jnp.int32)) // jnp.asarray(
+                       vf, jnp.int32)
+            x = jnp.take(x, jnp.clip(idx, 0, t - 1), axis=1)
+        x = x.astype(jnp.float32)
         x = BiLSTM(hidden=cfg.lstm_hidden).apply(
-            {"params": self.head_params["lstm"]}, x)
+            {"params": self.head_params["lstm"]}, x,
+            valid_len=valid_frames)
         x = jax.nn.relu(TorchLinear(cfg.fc_hidden).apply(
             {"params": self.head_params["fc1"]}, x))
         x = TorchLinear(1).apply({"params": self.head_params["fc2"]}, x)
         return x[..., 0]
 
-    def __call__(self, spec: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    def __call__(self, spec: jnp.ndarray, num_frames: int, valid_t=None,
+                 valid_frames=None) -> jnp.ndarray:
         assert self._calibrated, "call calibrate() before the first forward"
-        h = _run_encoder_int8(self.enc, self._specs(), spec)
-        return self._head(h, num_frames)
+        h = _run_encoder_int8(self.enc, self._specs(), spec, valid_t=valid_t)
+        return self._head(h, num_frames, valid_t, valid_frames)
 
     def logits_packed(self, re: jnp.ndarray, im: jnp.ndarray,
                       num_frames: int) -> jnp.ndarray:

@@ -154,3 +154,47 @@ def test_crm_tanh_roundtrip(rng):
     crm = compressed_crm_tanh(jnp.asarray(clean), jnp.asarray(noisy))
     rec = apply_compressed_crm_tanh(jnp.asarray(noisy), crm)
     np.testing.assert_allclose(np.asarray(rec), clean, atol=2e-3, rtol=1e-2)
+
+
+def test_matmul_despeckle_exact_vs_generic(rng):
+    """The fused matmul despeckle (gap matrix) equals the generic
+    segment-sum despeckle bit-for-bit over random bitstreams, at the
+    production geometry and at off-nominal ones that still satisfy the
+    gaps-only invariant."""
+    from sos_tpu.dsp.mixing import _despeckle_gap_matrix, frame_sample_matrix
+
+    for num_frames, ratio, num_samples in (
+            (60, 14000.0 / 30.0, 28000),   # detector/denoiser clips
+            (60, 14000.0 / 30.0, 28003),   # tail longer than the gap
+            (30, 14000.0 / 30.0, 14000),   # 1 s clip
+            (7, 100.0, 700),               # integer ratio
+    ):
+        assert _despeckle_gap_matrix(num_frames, num_samples, ratio, 5) \
+            is not None, (num_frames, ratio, num_samples)
+        for trial in range(8):
+            bits = rng.integers(0, 2, (3, num_frames)).astype(np.float32)
+            a = frame_sample_matrix(num_frames, num_samples, ratio)
+            generic = despeckle_mask(
+                jnp.asarray((1.0 - bits) @ a), 5)
+            fused = bitstream_to_sample_mask(
+                jnp.asarray(bits), ratio, num_samples, 5)
+            np.testing.assert_array_equal(np.asarray(fused),
+                                          np.asarray(generic),
+                                          err_msg=str((num_frames, ratio,
+                                                       num_samples, trial)))
+
+
+def test_matmul_despeckle_falls_back_on_bad_geometry():
+    """Frame bodies shorter than min_run break the gaps-only invariant:
+    the gap matrix must refuse and the generic path take over."""
+    from sos_tpu.dsp.mixing import _despeckle_gap_matrix
+
+    assert _despeckle_gap_matrix(10, 30, 3.0, 5) is None  # body 2 < 5
+    # still correct end to end via the generic fallback
+    bits = np.array([[1, 0, 1, 0, 0, 1, 1, 0, 1, 1]], dtype=np.float32)
+    out = np.asarray(bitstream_to_sample_mask(jnp.asarray(bits), 3.0, 30, 5))
+    from sos_tpu.dsp.mixing import bitstream_to_sample_mask_np
+
+    np.testing.assert_array_equal(out[0],
+                                  bitstream_to_sample_mask_np(bits[0], 3.0,
+                                                              30, 5))

@@ -208,3 +208,70 @@ def test_streaming_one_pass_mode_still_works(tiny, rng):
     wav = rng.standard_normal(14000 * 5).astype(np.float32) * 0.2
     out = stream.denoise(wav)
     assert len(out) == len(wav) and np.isfinite(out).all()
+
+
+def test_overlap_add_matches_naive_loop(tiny, rng):
+    """The vectorized phase-block overlap-add equals the per-chunk loop."""
+    from sos_tpu.infer.streaming import StreamingDenoiser
+
+    cfg, det_vars, den_vars = tiny
+    s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=0.5,
+                          overlap_seconds=0.2, batch_chunks=2)
+    n_chunks = 7
+    w = s._weights()
+    chunks = rng.standard_normal((n_chunks, s.valid)).astype(np.float32)
+    total = (n_chunks - 1) * s.stride + s.valid
+
+    naive = np.zeros(total, np.float32)
+    for i in range(n_chunks):
+        naive[i * s.stride : i * s.stride + s.valid] += chunks[i] * w
+    np.testing.assert_allclose(s._overlap_add(chunks * w, total), naive,
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_detector_predictor_int8_bucketed_exact(tiny, rng):
+    """--profile int8 on the faithful eval driver: bucketed inference
+    equals per-length compilation WITHIN the int8 profile (the profile's
+    drift vs f32 is bounded separately in tests/test_quant.py)."""
+    cfg, det_vars, _ = tiny
+    exact = DetectorPredictor(cfg, det_vars, buckets=None, profile="int8")
+    bucketed = DetectorPredictor(cfg, det_vars, buckets=(256, 512),
+                                 profile="int8")
+    for length, frames in ((28000, 60), (20000, 43)):
+        wav = rng.standard_normal(length).astype(np.float32) * 0.2
+        bits_e, conf_e = exact.predict_waveform(wav, num_frames=frames)
+        bits_b, conf_b = bucketed.predict_waveform(wav, num_frames=frames)
+        np.testing.assert_allclose(conf_b, conf_e, atol=2e-5)
+        np.testing.assert_array_equal(bits_b, bits_e)
+
+
+def test_denoiser_predictor_int8_bucketed_exact(tiny, rng):
+    """--profile int8 full-utterance denoising: bucketed == per-length
+    within the profile."""
+    cfg, _, den_vars = tiny
+    exact = DenoiserPredictor(cfg, den_vars, buckets=None, profile="int8")
+    bucketed = DenoiserPredictor(cfg, den_vars, buckets=(256,),
+                                 profile="int8")
+    for length in (28000, 22000):
+        wav = rng.standard_normal(length).astype(np.float32) * 0.2
+        bits = "".join(rng.choice(list("01"), int(length / 14000 * 30)))
+        ref = exact.denoise_waveform(wav, bits)
+        got = bucketed.denoise_waveform(wav, bits)
+        for key in ("denoised", "predicted_noise", "gated_noise"):
+            np.testing.assert_allclose(got[key], ref[key], atol=3e-5,
+                                       err_msg=f"{key}@{length}")
+
+
+def test_denoiser_predictor_profiles_close_to_f32(tiny, rng):
+    """bf16/int8 driver outputs stay within the certified drift budgets
+    of the f32 driver on the same utterance."""
+    cfg, _, den_vars = tiny
+    wav = rng.standard_normal(28000).astype(np.float32) * 0.2
+    bits = "".join(rng.choice(list("01"), 60))
+    ref = DenoiserPredictor(cfg, den_vars).denoise_waveform(wav, bits)
+    for profile in ("bf16", "int8"):
+        got = DenoiserPredictor(cfg, den_vars,
+                                profile=profile).denoise_waveform(wav, bits)
+        err = np.abs(got["denoised"] - ref["denoised"]).max()
+        assert err < 0.1, (profile, err)
+        assert np.isfinite(got["denoised"]).all()

@@ -336,3 +336,52 @@ def test_calibration_race_converges_on_winner(setup, tmp_path):
     assert p2._quant.calibration_state() == p1._quant.calibration_state()
     assert (p2._quant_det.calibration_state()
             == p1._quant_det.calibration_state())
+
+
+def test_quantized_valid_t_bucketed_exact(setup):
+    """The int8 pipeline's length-bucketed path (valid_t) matches the
+    fixed-shape int8 program on the valid region: the padded tail +
+    dynamic-boundary reflection reproduce the natural-length program's
+    boundary handling exactly (int8 trunks bitwise; float head to fp
+    tolerance)."""
+    cfg, model, v, x, y = setup
+    q = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")
+    q.calibrate([(x, y)])
+    ref_noise, ref_crm = jax.jit(q.__call__)(x, y)
+
+    t = x.shape[2]
+    pad_t = 96  # bucket wider than the natural 64
+    fill = jr.normal(jr.PRNGKey(7), (2, 256, pad_t - t, 2))  # garbage tail
+    xp = jnp.concatenate([x, fill], axis=2)
+    yp = jnp.concatenate([y, fill * 0.5], axis=2)
+    qn, qc = jax.jit(lambda a, b, vt: q(a, b, valid_t=vt))(
+        xp, yp, jnp.int32(t))
+    np.testing.assert_allclose(np.asarray(qn[:, :, :t]),
+                               np.asarray(ref_noise), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(qc[:, :, :t]),
+                               np.asarray(ref_crm), atol=3e-5)
+
+
+def test_quantized_detector_valid_t_bucketed_exact(setup):
+    """QuantizedDetector's valid_t path == its fixed-shape path on the
+    valid region (bits identical, confidences to fp tolerance)."""
+    from sos_tpu.config import DetectorModelConfig
+    from sos_tpu.models import SilenceDetector
+    from sos_tpu.models.quant import QuantizedDetector
+
+    det_cfg = DetectorModelConfig(nf=8, outf=2,
+                                  kernel_sizes=((1, 7), (5, 5)),
+                                  dilations=((1, 1), (2, 2)),
+                                  lstm_hidden=8, fc_hidden=8)
+    det = SilenceDetector(det_cfg)
+    spec = jr.normal(jr.PRNGKey(3), (2, 256, 64, 2)) * 0.3
+    dv = det.init(jr.PRNGKey(4), spec)
+    qd = QuantizedDetector(det_cfg, dv)
+    qd.calibrate([spec])
+    ref = jax.jit(lambda s: qd(s, 60))(spec)
+
+    fill = jr.normal(jr.PRNGKey(8), (2, 256, 32, 2))
+    spec_p = jnp.concatenate([spec, fill], axis=2)
+    got = jax.jit(lambda s, vt: qd(s, 60, valid_t=vt, valid_frames=60))(
+        spec_p, jnp.int32(64))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
