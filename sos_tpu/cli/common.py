@@ -47,6 +47,9 @@ def add_common_train_args(parser: argparse.ArgumentParser,
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=None,
+                        help="training seed (init + batch order); used by "
+                             "multi-seed quality certification runs")
     parser.add_argument("--num_devices", type=int, default=None,
                         help="data-parallel device count (default: all)")
     parser.add_argument("--compute_dtype", type=str, default=None,
@@ -150,6 +153,8 @@ def config_from_args(args, stage: str) -> ExperimentConfig:
         train_kw["batch_size"] = 40  # m2 common.py:52
     if getattr(args, "lr", None) is not None:
         train_kw["lr"] = args.lr
+    if getattr(args, "seed", None) is not None:
+        train_kw["seed"] = args.seed
     if getattr(args, "save_step_frequency", None) is not None:
         train_kw["save_step_frequency"] = args.save_step_frequency
     if getattr(args, "compute_dtype", None) is not None:
