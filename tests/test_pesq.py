@@ -105,3 +105,50 @@ def test_metric_suite_nan_free():
                       "ssnr_exsi", "overall_snr"}
     bad = {k: v for k, v in m.items() if not math.isfinite(v)}
     assert not bad, f"non-finite metrics: {bad}"
+
+
+def test_golden_regression_values():
+    """Frozen golden scores for a fixed signal set (VERDICT r2 #8): any
+    change to the native P.862 pipeline that shifts these is a behavior
+    change and must be deliberate. Generated with the r3 implementation;
+    tolerance covers platform FFT wobble only.
+
+    NB on LQO mapping: these are RAW P.862 scores in [-0.5, 4.5] — the
+    reference's pypesq also returns raw narrowband MOS (no P.862.1 LQO
+    mapping), so compatibility argues for raw here too; documented in
+    docs/ARCHITECTURE.md §8.
+    """
+    ref = _speechlike(3.0)
+    rng = np.random.default_rng(42)
+    noise = rng.standard_normal(len(ref)) * 0.02
+    cases = {
+        "identity": (ref.copy(), 4.500000),
+        "noise_0.02": (ref + noise, 2.119273),
+        "noise_0.06": (ref + 3 * noise, 1.501614),
+        "lowpass": (np.convolve(ref, np.ones(8) / 8, mode="same"), 4.496802),
+        "clip_0.1": (np.clip(ref, -0.1, 0.1), 1.893717),
+        "delay_160": (np.roll(ref, 160), 4.500000),
+    }
+    for name, (deg, golden) in cases.items():
+        got = pesq_nb(ref, deg, FS)
+        assert math.isclose(got, golden, abs_tol=2e-3), (name, got, golden)
+
+
+def test_monotone_in_clipping_severity():
+    """Metamorphic: harder amplitude clipping never improves the score."""
+    ref = _speechlike(3.0)
+    scores = [pesq_nb(ref, np.clip(ref, -c, c), FS)
+              for c in (0.5, 0.2, 0.1, 0.05)]
+    for a, b in zip(scores, scores[1:]):
+        assert b <= a + 1e-6, scores
+
+
+def test_monotone_in_bandwidth_loss():
+    """Metamorphic: stronger low-pass smearing never improves the score."""
+    ref = _speechlike(3.0)
+    scores = []
+    for k in (4, 16, 48):
+        deg = np.convolve(ref, np.ones(k) / k, mode="same")
+        scores.append(pesq_nb(ref, deg, FS))
+    for a, b in zip(scores, scores[1:]):
+        assert b <= a + 1e-6, scores
