@@ -142,8 +142,17 @@ def main() -> None:
         _measure(scan_bench(step_int8), (stack, mask), audio_sec, iters), 2)
 
     # --- two-stage fused headline (the production program) --------------
+    # Batch 256: the two-stage sweet spot (r3 sweep: 883 @128, 976 @256,
+    # 978 @512 audio-s/s — the detector's fixed costs amortize; beyond
+    # 256 it is flat). The denoiser-only profiles above stay at 128
+    # (their own measured sweet spot; 256 would double their HBM here).
     quant_det = QuantizedDetector(cfg.detector, det_vars)
     quant_det.calibrate([stft(base[:8])])
+
+    batch2 = 256
+    base2 = jax.random.normal(k1, (batch2, samples), jnp.float32) * 0.1
+    stack2 = jnp.stack([base2 + 1e-4 * i for i in range(iters)])
+    audio_sec2 = batch2 * (samples / cfg.data.sample_rate)
 
     def step_two_stage(mixed, _unused):
         mr, mi = stft_packed(mixed)
@@ -157,7 +166,7 @@ def main() -> None:
         return istft_packed(rr * mr - ri * mi, rr * mi + ri * mr)
 
     profiles["two_stage"] = round(
-        _measure(scan_bench(step_two_stage), (stack, mask), audio_sec,
+        _measure(scan_bench(step_two_stage), (stack2, mask[:1]), audio_sec2,
                  iters), 2)
 
     headline = profiles["two_stage"]
