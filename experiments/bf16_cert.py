@@ -52,9 +52,15 @@ def main() -> None:
     test_json = os.path.join(args.corpus, "test.json")
     noise_root = os.path.join(args.corpus, "noise")
 
+    # the resume key must cover EVERYTHING that changes the recorded
+    # metrics, or a re-run with different eval settings would silently
+    # mix incomparable runs in one file
     results = {"config": {"epochs": args.epochs,
                           "batch_size": args.batch_size,
-                          "seeds": args.seeds}, "runs": []}
+                          "seeds": args.seeds,
+                          "snr_idx": args.snr_idx,
+                          "corpus": os.path.abspath(args.corpus)},
+               "runs": []}
     if os.path.exists(args.out):  # resume an interrupted sweep
         with open(args.out) as fp:
             prev = json.load(fp)

@@ -62,7 +62,23 @@ class ServeLoop:
         self.load = load
         self.write = write
         self.sample_rate = sample_rate
-        self.emit = emit or (lambda s: print(s, flush=True))
+        # Default emit: ONE atomic write call per line (print() issues
+        # separate write(s)/write('\\n') calls, which can interleave
+        # between the reader's PONGs and the writer's OK/ERR lines) plus
+        # a lock so custom emit callables stay safe too.
+        if emit is None:
+            def emit(s):
+                sys.stdout.write(s + "\n")
+                sys.stdout.flush()
+        lock = threading.Lock()
+        raw_emit = emit
+        self._emit_failed = None
+
+        def locked_emit(s):
+            with lock:
+                raw_emit(s)
+
+        self.emit = locked_emit
         self.depth = depth
 
     def run(self, lines) -> None:
@@ -72,6 +88,8 @@ class ServeLoop:
         def reader_decoder():
             try:
                 for raw in lines:
+                    if self._emit_failed is not None:
+                        break  # client gone: stop accepting work
                     line = raw.strip()
                     if not line:
                         continue
@@ -98,21 +116,29 @@ class ServeLoop:
                 q_dec.put(_DONE)
 
         def writer():
+            # A dead client (BrokenPipeError from emit) must NOT strand
+            # the pipeline: record the failure and keep DRAINING the
+            # queue so the main loop's puts never block forever.
             while True:
                 kind, payload, err = q_out.get()
                 if kind == "__done__":
                     break
-                if kind == "err":
-                    self.emit(f"ERR {err}")
-                    continue
-                dst, out, secs, t0 = payload
+                if self._emit_failed is not None:
+                    continue  # drain without emitting
                 try:
-                    self.write(dst, out, self.sample_rate)
-                except Exception as exc:
-                    self.emit(f"ERR {_one_line(exc)}")
-                    continue
-                wall = time.perf_counter() - t0
-                self.emit(f"OK {dst} {secs:.2f} {wall:.2f}")
+                    if kind == "err":
+                        self.emit(f"ERR {err}")
+                        continue
+                    dst, out, secs, t0 = payload
+                    try:
+                        self.write(dst, out, self.sample_rate)
+                    except Exception as exc:
+                        self.emit(f"ERR {_one_line(exc)}")
+                        continue
+                    wall = time.perf_counter() - t0
+                    self.emit(f"OK {dst} {secs:.2f} {wall:.2f}")
+                except Exception as exc:  # emit itself failed
+                    self._emit_failed = exc
 
         rt = threading.Thread(target=reader_decoder, daemon=True)
         wt = threading.Thread(target=writer, daemon=True)
@@ -137,6 +163,8 @@ class ServeLoop:
         finally:
             q_out.put(_DONE)
             wt.join()
+        if self._emit_failed is not None:
+            raise self._emit_failed  # exit like the pre-pipelined loop did
         self.emit("BYE")
 
 

@@ -159,7 +159,7 @@ class _WavCache:
         lengths_ok = True
         for p in missing:
             try:
-                native_sr, n = self._engine.info(p)
+                n, native_sr = self._engine.info(p)  # (samples, sample_rate)
             except OSError:
                 lengths_ok = False  # let get() surface the error per-file
                 break

@@ -84,18 +84,22 @@ class DenoiserPredictor:
     def _maybe_calibrate(self, mixed: np.ndarray, mask: np.ndarray) -> None:
         if self._quant is None or self._quant._calibrated:
             return
-        import json
-        import os
+        if self._calibration_path:
+            from sos_tpu.models.quant import read_calibration_state
 
-        path = self._calibration_path
-        if path and os.path.exists(path):
-            try:
-                with open(path) as fp:
-                    state = json.load(fp)
-                self._quant.load_calibration(state["denoiser"])
-                return
-            except (OSError, ValueError, KeyError, TypeError):
-                pass  # unreadable/foreign file: self-calibrate below
+            state = read_calibration_state(self._calibration_path,
+                                           "denoiser")
+            if state is not None:
+                try:
+                    self._quant.load_calibration(state)
+                    return
+                except (KeyError, TypeError, ValueError) as exc:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "calibration file %s: wrong scale schema (%s) — "
+                        "self-calibrating instead",
+                        self._calibration_path, exc)
         scfg = self.cfg.stft
         spec = stft(jnp.asarray(mixed)[None], scfg.n_fft, scfg.hop_length,
                     scfg.win_length)

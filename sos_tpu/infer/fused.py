@@ -305,6 +305,13 @@ class FusedDenoisePipeline:
                         # already rejected above — overwrite it
                         os.replace(tmp, path)
                         return
+                except OSError:
+                    # filesystem without hardlinks (some NFS/FUSE
+                    # mounts): fall back to the atomic-but-last-writer-
+                    # wins publish, then adopt whatever file won
+                    os.replace(tmp, path)
+                    self.load_calibration_file(path)
+                    return
             finally:
                 if os.path.exists(tmp):
                     os.unlink(tmp)

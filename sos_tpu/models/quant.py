@@ -697,6 +697,33 @@ class QuantizedDenoiser:
             {"params": self.head_params["fc2"]}, h))
 
 
+def read_calibration_state(path: str, key: str) -> Optional[Dict]:
+    """Parse a persisted int8 activation-scale JSON (the schema
+    FusedDenoisePipeline writes: {"denoiser": ..., "detector": ...}) and
+    return its `key` sub-state, or None with a logged warning naming the
+    file and the problem — shared by the standalone predictors so a
+    corrupt/foreign file is never ignored silently."""
+    import json
+    import logging
+    import os
+
+    log = logging.getLogger(__name__)
+    if not os.path.exists(path):
+        return None  # absent is the normal first-run case: no warning
+    try:
+        with open(path) as fp:
+            state = json.load(fp)
+    except (OSError, ValueError) as exc:
+        log.warning("calibration file %s: unreadable (%s) — "
+                    "self-calibrating instead", path, exc)
+        return None
+    if not isinstance(state, dict) or key not in state:
+        log.warning('calibration file %s: missing the "%s" key — '
+                    "self-calibrating instead", path, key)
+        return None
+    return state[key]
+
+
 class QuantizedDetector:
     """SilenceDetector with an int8 conv trunk (models/detector.py; the
     trunk is ~90% of detector FLOPs). BiLSTM + FC head stay float32.

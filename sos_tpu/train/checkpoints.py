@@ -36,27 +36,33 @@ class CheckpointManager:
         # Multi-host: the state is fully replicated (every leaf is fully
         # addressable on every process), so only process 0 writes — the
         # others would race on a shared filesystem.
-        if jax.process_index() == 0:
-            # materialize to host numpy: fully-replicated global arrays
-            # are readable on any process, and orbax then needs no
-            # cross-host coordination protocol
-            tree = jax.tree.map(np.asarray, {
-                "params": state.params,
-                "batch_stats": state.batch_stats,
-                "opt_state": state.opt_state,
-                "step": state.step,
-            })
-            self._ckptr.save(path, tree, force=True)
-            with open(path + ".clock.json", "w") as fp:
-                json.dump(clock.to_dict(), fp)
-        if jax.process_count() > 1:
-            # barrier: no process may report this step's checkpoint done
-            # (and become eligible for preemption/teardown) until process
-            # 0's write is durable — otherwise a teardown triggered by a
-            # fast host can kill the writer mid-write, corrupting 'latest'
-            from jax.experimental import multihost_utils
+        try:
+            if jax.process_index() == 0:
+                # materialize to host numpy: fully-replicated global
+                # arrays are readable on any process, and orbax then
+                # needs no cross-host coordination protocol
+                tree = jax.tree.map(np.asarray, {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "step": state.step,
+                })
+                self._ckptr.save(path, tree, force=True)
+                with open(path + ".clock.json", "w") as fp:
+                    json.dump(clock.to_dict(), fp)
+        finally:
+            # Barrier: no process may report this step's checkpoint done
+            # (and become eligible for preemption/teardown) until
+            # process 0's write is durable — otherwise a teardown
+            # triggered by a fast host can kill the writer mid-write,
+            # corrupting 'latest'. In the finally so a FAILED write on
+            # process 0 still releases the other processes (process 0
+            # then surfaces the real error) instead of deadlocking them
+            # in the collective.
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
 
-            multihost_utils.sync_global_devices(f"ckpt_saved:{name}")
+                multihost_utils.sync_global_devices(f"ckpt_saved:{name}")
         return path
 
     def save_epoch(self, state: TrainState, clock: TrainClock) -> str:

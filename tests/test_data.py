@@ -264,7 +264,9 @@ def test_wav_cache_lru_eviction(tmp_path, monkeypatch):
 
 def test_wav_cache_prefetch_paths_native(tmp_path):
     """Bulk prefetch decodes misses via the threaded native engine and
-    the cached waveforms match per-file decodes exactly."""
+    the cached waveforms match per-file decodes exactly — INCLUDING the
+    full length (clips are multi-second and at a non-processing sample
+    rate, so any max_samples miscalculation would truncate them)."""
     from sos_tpu.data.pipeline import _WavCache
     from sos_tpu.runtime import native_available
 
@@ -275,15 +277,21 @@ def test_wav_cache_prefetch_paths_native(tmp_path):
     paths = []
     for i in range(4):
         p = str(tmp_path / f"p{i}.wav")
-        audio_io.write_wav(p, (rng.standard_normal(3000 + 500 * i) * 0.2
-                               ).astype(np.float32), sr)
+        # 2-3 s at 44.1 kHz: resampled length >> sr so a swapped
+        # (samples, rate) unpack or undersized buffer truncates visibly
+        n = 44100 * 2 + 22050 * i
+        audio_io.write_wav(p, (rng.standard_normal(n) * 0.2
+                               ).astype(np.float32), 44100)
         paths.append(p)
     cache = _WavCache(sr, capacity=8)
     cache.prefetch_paths(paths)
     assert set(cache._store) == set(paths)
     ref = _WavCache(sr, capacity=8)
-    for p in paths:
-        np.testing.assert_allclose(cache.get(p), ref.get(p), atol=0)
+    for i, p in enumerate(paths):
+        got, want = cache.get(p), ref.get(p)
+        assert len(got) == len(want) and len(got) >= sr * 2 - 2, (
+            len(got), len(want))
+        np.testing.assert_allclose(got, want, atol=0)
 
 
 def test_batcher_iter_from_matches_full_iteration(tmp_path):
