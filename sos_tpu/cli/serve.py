@@ -57,8 +57,13 @@ class ServeLoop:
     """
 
     def __init__(self, denoise, load, write, sample_rate: int,
-                 emit=None, depth: int = 4):
+                 emit=None, depth: int = 4, denoise_many=None):
+        """`denoise_many([wav, ...]) -> [wav, ...]` (optional): batch
+        concurrent requests into shared device dispatches (e.g.
+        StreamingDenoiser.denoise_many); falls back to per-request
+        `denoise` when absent."""
         self.denoise = denoise
+        self.denoise_many = denoise_many
         self.load = load
         self.write = write
         self.sample_rate = sample_rate
@@ -144,22 +149,48 @@ class ServeLoop:
         wt = threading.Thread(target=writer, daemon=True)
         rt.start()
         wt.start()
+        done = False
         try:
-            while True:
-                kind, payload, err = q_dec.get()
-                if kind == "__done__":
-                    break
-                if kind == "err":
-                    q_out.put(("err", None, err))
-                    continue
-                dst, wav, t0 = payload
-                try:
-                    out = self.denoise(wav)
-                except Exception as exc:  # keep serving on bad requests
-                    q_out.put(("err", None, _one_line(exc)))
-                    continue
-                q_out.put(("req", (dst, out, len(wav) / self.sample_rate,
-                                   t0), None))
+            while not done:
+                batch = [q_dec.get()]
+                # Greedily drain whatever else is already queued: with a
+                # denoiser exposing denoise_many, concurrent requests'
+                # chunks share device dispatches instead of each paying
+                # a mostly-empty chunk batch.
+                while len(batch) < self.depth:
+                    try:
+                        batch.append(q_dec.get_nowait())
+                    except queue.Empty:
+                        break
+                reqs = [payload for kind, payload, _ in batch
+                        if kind == "req"]
+                done = done or any(k == "__done__" for k, _, _ in batch)
+                outs: list = []
+                fail = None
+                if reqs:
+                    try:
+                        if len(reqs) > 1 and self.denoise_many is not None:
+                            outs = self.denoise_many(
+                                [wav for _, wav, _ in reqs])
+                        else:
+                            outs = [self.denoise(wav)
+                                    for _, wav, _ in reqs]
+                    except Exception as exc:  # keep serving afterwards
+                        fail = _one_line(exc)
+                # responses leave in ARRIVAL order: errors stay at their
+                # position relative to the requests drained with them
+                it = iter(outs)
+                for kind, payload, err in batch:
+                    if kind == "err":
+                        q_out.put(("err", None, err))
+                    elif kind == "req":
+                        if fail is not None:
+                            q_out.put(("err", None, fail))
+                            continue
+                        dst, wav, t0 = payload
+                        q_out.put(("req", (dst, next(it),
+                                           len(wav) / self.sample_rate,
+                                           t0), None))
         finally:
             q_out.put(_DONE)
             wt.join()
@@ -201,6 +232,7 @@ def main() -> None:
 
     loop = ServeLoop(
         denoise=stream.denoise,
+        denoise_many=stream.denoise_many,
         load=lambda p: audio_io.load(p, sr=cfg.data.sample_rate),
         write=audio_io.write_wav,
         sample_rate=cfg.data.sample_rate)

@@ -65,32 +65,58 @@ class StreamingDenoiser:
 
     def denoise(self, waveform: np.ndarray) -> np.ndarray:
         """Denoise arbitrary-length audio at the processing sample rate."""
-        n = len(waveform)
-        if n <= self.chunk:
-            buf = np.zeros(self.chunk, dtype=np.float32)
-            buf[:n] = waveform
-            out, _ = self.pipeline(jnp.asarray(buf)[None])
-            return np.asarray(out[0])[: min(n, self.valid)]
+        return self.denoise_many([waveform])[0]
 
-        starts = list(range(0, n, self.stride))
-        chunks = np.zeros((len(starts), self.chunk), dtype=np.float32)
-        for i, s in enumerate(starts):
-            seg = waveform[s:s + self.chunk]
-            chunks[i, : len(seg)] = seg
+    def denoise_many(self, waveforms) -> list:
+        """Denoise several utterances, batching their chunks into SHARED
+        device dispatches — short requests no longer waste a mostly-empty
+        chunk batch each (cross-request batching for the serve loop).
+        Per-utterance outputs are identical to `denoise` one at a time:
+        chunking, bit reconciliation and overlap-add stay per-utterance.
+        """
+        slices = []  # (start_row, starts, n) per utterance
+        all_chunks = []
+        row = 0
+        for wav in waveforms:
+            n = len(wav)
+            # same chunk layout as the original single-utterance path:
+            # one chunk when the utterance fits, else stride-spaced
+            starts = [0] if n <= self.chunk else list(
+                range(0, n, self.stride))
+            chunks = np.zeros((len(starts), self.chunk), dtype=np.float32)
+            for i, s in enumerate(starts):
+                seg = wav[s:s + self.chunk]
+                chunks[i, : len(seg)] = seg
+            all_chunks.append(chunks)
+            slices.append((row, starts, n))
+            row += len(starts)
+        stacked = np.concatenate(all_chunks, axis=0)
 
         if self.consistent_boundaries:
-            denoised_chunks = self._two_pass(chunks, starts)
+            bits = self._batched(self.pipeline.detect_bits, [stacked])
+            for r, starts, _ in slices:
+                bits[r:r + len(starts)] = self.reconcile_bits(
+                    bits[r:r + len(starts)], starts)
+            denoised = self._batched(self.pipeline.denoise_with_bits,
+                                     [stacked, bits])
         else:
-            denoised_chunks = self._one_pass(chunks)
+            denoised = self._one_pass(stacked)
 
-        total = starts[-1] + self.valid
         w = self._weights()
-        acc = self._overlap_add(denoised_chunks * w, total)
-        wsum = self._overlap_add(np.broadcast_to(w, denoised_chunks.shape),
-                                 total)
-        nz = wsum > 1e-8
-        acc[nz] /= wsum[nz]
-        return acc[:n]
+        outs = []
+        for r, starts, n in slices:
+            chunks_out = denoised[r:r + len(starts)]
+            if len(starts) == 1:
+                outs.append(np.asarray(chunks_out[0])[: min(n, self.valid)])
+                continue
+            total = starts[-1] + self.valid
+            acc = self._overlap_add(chunks_out * w, total)
+            wsum = self._overlap_add(
+                np.broadcast_to(w, chunks_out.shape), total)
+            nz = wsum > 1e-8
+            acc[nz] /= wsum[nz]
+            outs.append(acc[:n])
+        return outs
 
     def _overlap_add(self, weighted: np.ndarray, total: int) -> np.ndarray:
         """Vectorized overlap-add: chunk i occupies [i*stride, i*stride+valid).
@@ -152,7 +178,3 @@ class StreamingDenoiser:
             bits[i, np.nonzero(ok)[0]] = bits[i - 1, prev_idx[ok]]
         return bits
 
-    def _two_pass(self, chunks: np.ndarray, starts) -> np.ndarray:
-        bits = self._batched(self.pipeline.detect_bits, [chunks])
-        bits = self.reconcile_bits(bits, starts)
-        return self._batched(self.pipeline.denoise_with_bits, [chunks, bits])

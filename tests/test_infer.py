@@ -275,3 +275,21 @@ def test_denoiser_predictor_profiles_close_to_f32(tiny, rng):
         err = np.abs(got["denoised"] - ref["denoised"]).max()
         assert err < 0.1, (profile, err)
         assert np.isfinite(got["denoised"]).all()
+
+
+def test_denoise_many_matches_per_utterance(tiny, rng):
+    """Cross-request chunk batching returns exactly what per-utterance
+    denoise() returns, for mixed lengths and both boundary modes."""
+    cfg, det_vars, den_vars = tiny
+    for consistent in (True, False):
+        s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                              overlap_seconds=0.5, batch_chunks=4,
+                              consistent_boundaries=consistent)
+        waves = [rng.standard_normal(n).astype(np.float32) * 0.2
+                 for n in (20000, 45000, 70000)]
+        singles = [s.denoise(w) for w in waves]
+        many = s.denoise_many(waves)
+        for got, want in zip(many, singles):
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=str(consistent))
