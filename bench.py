@@ -53,8 +53,12 @@ def _measure(bench_fn, args, audio_sec: float, iters: int) -> float:
 
 
 def main() -> None:
+    import logging
     import os
 
+    # the concat-scale-skew warning is meant for real checkpoints; the
+    # bench's random weights always trigger it — keep the output clean
+    logging.getLogger("sos_tpu.models.quant").setLevel(logging.ERROR)
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     import jax
 

@@ -44,6 +44,48 @@ def _writers(log_dir: str):
         return None, None
 
 
+class GracefulStop:
+    """SIGTERM-aware preemption flag: the signal only sets a flag; fit()
+    checks it at step boundaries, saves `latest` and returns cleanly, so
+    a preempted run resumes EXACTLY via `--continue` (the mid-epoch
+    resume machinery). Installed for the duration of fit() only; the
+    previous handler is restored. Multi-host: the flag is agreed across
+    processes (any host signaled -> all stop at the same step), so the
+    checkpoint barrier cannot deadlock."""
+
+    def __init__(self):
+        self.requested = False
+        self._prev = None
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def install(self) -> "GracefulStop":
+        import signal
+
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._handler)
+        except ValueError:  # not the main thread (e.g. under a test runner)
+            self._prev = None
+        return self
+
+    def uninstall(self) -> None:
+        import signal
+
+        if self._prev is not None:
+            signal.signal(signal.SIGTERM, self._prev)
+            self._prev = None
+
+    def should_stop(self) -> bool:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray([1 if self.requested else 0]))
+            return bool(np.asarray(flags).any())
+        return self.requested
+
+
 class MetricsLog:
     """Append-only JSONL training log — the durable, dependency-free
     record behind the tensorboard scalars (consumed by
@@ -130,6 +172,8 @@ def fit(
     val_iter = cycle(lambda: iter(val_batcher)) if has_val else None
 
     start_epoch, start_minibatch = clock.epoch, clock.minibatch
+    stop = GracefulStop().install()
+    preempted = False
     try:
       with mesh:
         state = distributed.replicate(state, replicated(mesh))
@@ -190,6 +234,19 @@ def fit(
                 if (cfg.train.save_step_frequency
                         and clock.step % cfg.train.save_step_frequency == 0):
                     mgr.save(state, clock, "latest")
+                if stop.should_stop():
+                    # preemption: fall through to the final `latest` save
+                    # — with the minibatch cursor in the clock, a
+                    # `--continue` resume picks up at the NEXT batch of
+                    # this epoch exactly
+                    logging.getLogger(__name__).warning(
+                        "SIGTERM: stopping at step %d (epoch %d, "
+                        "minibatch %d); saving latest", clock.step,
+                        clock.epoch, clock.minibatch)
+                    preempted = True
+                    break
+            if preempted:
+                break
             clock.tock()
 
             # full validation pass
@@ -219,6 +276,7 @@ def fit(
     finally:
         # exception-safe teardown (OOM/interrupt): the jsonl handle and
         # the tensorboard writers must not leak buffered events
+        stop.uninstall()
         jsonl.close()
         for writer in (train_tb, val_tb):
             if writer is not None:

@@ -371,3 +371,99 @@ def test_nonfinite_gradient_guard():
         for a, b in zip(jax.tree.leaves(state3.params),
                         jax.tree.leaves(state2.params)))
     assert changed
+
+
+def test_sigterm_preemption_saves_resumable_latest(tmp_path):
+    """SIGTERM mid-training saves `latest` at a step boundary and exits
+    cleanly; a `--continue` resume picks up from that exact position
+    (composing with the exact mid-epoch resume machinery)."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from sos_tpu.dsp import audio_io
+
+    sr = 14000
+    rng = np.random.default_rng(7)
+    clips = tmp_path / "clips"
+    noise_d = tmp_path / "noise"
+    clips.mkdir(); noise_d.mkdir()
+    for i in range(2):
+        n = 4 * sr
+        y = np.zeros(n, np.float32)
+        for s in range(0, n, sr):
+            y[s:s + sr // 2] = rng.standard_normal(sr // 2) * 0.3
+        audio_io.write_wav(str(clips / f"c{i}.wav"), y, sr)
+    audio_io.write_wav(str(noise_d / "n0.wav"),
+                       rng.standard_normal(sr * 6).astype(np.float32) * 0.2,
+                       sr)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_cli import _tiny_cfg
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(_tiny_cfg().to_json())
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    ds = str(tmp_path / "ds.json")
+    out_root = str(tmp_path / "model_output")
+
+    def run(extra, wait_for_metrics=False):
+        argv = [sys.executable, "-c",
+                "import jax; jax.config.update('jax_platforms', 'cpu');"
+                "from sos_tpu.cli.train_detector import main; main()",
+                "--dataset_json", ds, "--noise_root", str(noise_d),
+                "--output_root", out_root, "--name", "pre",
+                "--config_json", str(cfg_path)] + extra
+        proc = subprocess.Popen(argv, env=env, cwd=str(tmp_path),
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+        return proc
+
+    import sys as _sys
+    from sos_tpu.cli import preprocess as _pp
+
+    old = _sys.argv
+    _sys.argv = ["prog", "--audio_dir", str(clips), "--output_json", ds,
+                 "--label_silence"]
+    try:
+        _pp.main()
+    finally:
+        _sys.argv = old
+
+    log = tmp_path / "model_output" / "pre_detector" / "log" / "metrics.jsonl"
+    clock_f = (tmp_path / "model_output" / "pre_detector" / "model" /
+               "latest.clock.json")
+    proc = run(["--epochs", "500"])
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if log.exists() and any('"kind": "train"' in ln
+                                for ln in open(log)):
+            break
+        if proc.poll() is not None:
+            raise AssertionError("training exited early:\n"
+                                 + proc.stdout.read())
+        time.sleep(1.0)
+    else:
+        raise AssertionError("no training progress before deadline")
+    time.sleep(1.0)  # let a few more steps land
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=120)
+    assert proc.returncode == 0, out
+    assert clock_f.exists(), out
+    saved = json.load(open(clock_f))
+    assert saved["step"] > 0
+    assert saved["epoch"] < 500
+
+    # resume to a nearby horizon: must finish normally from the saved clock
+    proc2 = run(["--epochs", str(saved["epoch"] + 1), "--continue",
+                 "--ckpt", "latest"])
+    out2, _ = proc2.communicate(timeout=300)
+    assert proc2.returncode == 0, out2
+    final = json.load(open(clock_f))
+    assert final["epoch"] == saved["epoch"] + 1
+    assert final["step"] > saved["step"]
