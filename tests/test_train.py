@@ -466,4 +466,7 @@ def test_sigterm_preemption_saves_resumable_latest(tmp_path):
     assert proc2.returncode == 0, out2
     final = json.load(open(clock_f))
     assert final["epoch"] == saved["epoch"] + 1
-    assert final["step"] > saved["step"]
+    # == when SIGTERM landed exactly at the epoch boundary (all of the
+    # epoch's minibatches already done): the resume correctly adds 0
+    # steps before tocking into the next epoch
+    assert final["step"] >= saved["step"]
