@@ -8,6 +8,9 @@ Protocol (stdin/stdout, one request per line):
 
     <input.wav>\t<output.wav>      denoise input -> output
     PING                           liveness check -> "PONG"
+    STATS                          counters -> "STATS ok=N err=N audio_s=X
+                                   wall_s=Y rtf=Z" (rtf = served audio
+                                   seconds per wall second, lifetime)
     QUIT                           graceful shutdown (drains pending work)
 
 Responses: "OK <output> <seconds_of_audio> <wall_seconds>" or
@@ -85,6 +88,12 @@ class ServeLoop:
 
         self.emit = locked_emit
         self.depth = depth
+        # lifetime counters (written by the writer thread, read by the
+        # reader for STATS — plain attributes; torn reads are harmless)
+        self.n_ok = 0
+        self.n_err = 0
+        self.audio_s = 0.0
+        self.busy_s = 0.0
 
     def run(self, lines) -> None:
         q_dec: "queue.Queue" = queue.Queue(maxsize=self.depth)
@@ -102,6 +111,13 @@ class ServeLoop:
                         break
                     if line == "PING":
                         self.emit("PONG")
+                        continue
+                    if line == "STATS":
+                        rtf = self.audio_s / self.busy_s \
+                            if self.busy_s > 0 else 0.0
+                        self.emit(f"STATS ok={self.n_ok} err={self.n_err} "
+                                  f"audio_s={self.audio_s:.2f} "
+                                  f"wall_s={self.busy_s:.2f} rtf={rtf:.1f}")
                         continue
                     try:
                         src, dst = line.split("\t")
@@ -132,15 +148,20 @@ class ServeLoop:
                     continue  # drain without emitting
                 try:
                     if kind == "err":
+                        self.n_err += 1
                         self.emit(f"ERR {err}")
                         continue
                     dst, out, secs, t0 = payload
                     try:
                         self.write(dst, out, self.sample_rate)
                     except Exception as exc:
+                        self.n_err += 1
                         self.emit(f"ERR {_one_line(exc)}")
                         continue
                     wall = time.perf_counter() - t0
+                    self.n_ok += 1
+                    self.audio_s += secs
+                    self.busy_s += wall
                     self.emit(f"OK {dst} {secs:.2f} {wall:.2f}")
                 except Exception as exc:  # emit itself failed
                     self._emit_failed = exc

@@ -216,19 +216,35 @@ def test_cli_serve_protocol(cli_env):
     # NB: python -c consumes argv[0]; pass CLI args via sys.argv patching
     out1 = str(root / "served1.wav")
     out2 = str(root / "served2.wav")
-    reqs = ("PING\n"
-            f"{cli_env['audio_dir']}/c0.wav\t{out1}\n"
-            f"{cli_env['audio_dir']}/c1.wav\t{out2}\n"
-            "/nonexistent.wav\t/tmp/x.wav\n"
-            "QUIT\n")
-    stdout, _ = proc.communicate(reqs, timeout=600)
-    lines = [ln for ln in stdout.splitlines() if ln]
-    assert lines[0] == "READY", stdout
-    assert lines[1] == "PONG"
-    assert lines[2].startswith("OK " + out1)
-    assert lines[3].startswith("OK " + out2)
-    assert lines[4].startswith("ERR")
-    assert lines[5] == "BYE"
+    # interactive: STATS/PING answer immediately from the reader thread,
+    # so request them at defined points instead of one bulk write
+    def say(line):
+        proc.stdin.write(line + "\n")
+        proc.stdin.flush()
+
+    def hear():
+        return proc.stdout.readline().strip()
+
+    try:
+        assert hear() == "READY"
+        say("PING")
+        assert hear() == "PONG"
+        say(f"{cli_env['audio_dir']}/c0.wav\t{out1}")
+        say(f"{cli_env['audio_dir']}/c1.wav\t{out2}")
+        say("/nonexistent.wav\t/tmp/x.wav")
+        assert hear().startswith("OK " + out1)
+        assert hear().startswith("OK " + out2)
+        assert hear().startswith("ERR")
+        say("STATS")  # after all responses: counters are settled
+        stats = hear()
+        assert stats.startswith("STATS ") and "ok=2" in stats \
+            and "err=1" in stats, stats
+        say("QUIT")
+        assert hear() == "BYE"
+    finally:
+        proc.stdin.close()
+        proc.wait(timeout=60)
+    assert proc.returncode == 0
     assert os.path.exists(out1) and os.path.exists(out2)
 
 
