@@ -148,11 +148,18 @@ def _conv_same(x: jnp.ndarray, w: jnp.ndarray, dilation: Tuple[int, int],
 
 
 def _run_encoder_int8(enc: "QuantEncoderParams", specs, x: jnp.ndarray,
-                      packed: bool = False, valid_t=None) -> jnp.ndarray:
+                      packed: bool = False, valid_t=None,
+                      time_take=None) -> jnp.ndarray:
     """Int8-resident conv-trunk runner (ContextAggNet encoders + detector
     trunk). `packed=True`: x is (B, 2, F, T); the first conv consumes it
     via an NCHW lhs spec. Returns float32 NHWC activations of the proj
     block (the only f32 tensor: it feeds the float head).
+
+    `time_take` (static int indices): subset the time axis on the INT8
+    tensor right before the final (1x1 proj) block. A 1x1 conv commutes
+    with time subsetting, so for the detector this is bit-identical to
+    resampling after the proj/flatten — while running proj on 60 frames
+    instead of 178 and never materializing the full-width f32 features.
 
     `valid_t` (traced scalar; NHWC only): exact length-bucketed variant —
     the time tail >= valid_t is re-zeroed after every requant exactly as
@@ -161,6 +168,8 @@ def _run_encoder_int8(enc: "QuantEncoderParams", specs, x: jnp.ndarray,
     zero IS real zero (symmetric quantization), so the masking is exact."""
     assert enc.blocks, "finalize() must run before the first forward"
     assert valid_t is None or not packed, "valid_t requires NHWC layout"
+    assert time_take is None or valid_t is None, \
+        "time_take is a fixed-shape fast path"
     tmask = None
     x = x.astype(jnp.float32)
     if valid_t is not None:
@@ -168,8 +177,12 @@ def _run_encoder_int8(enc: "QuantEncoderParams", specs, x: jnp.ndarray,
         x = x * tmask.astype(x.dtype)
     h_q = _quantize_act(x, enc.act_scales[0])
     h = None
+    last = len(enc.blocks) - 1
     for i, ((w_q, w_s, b, requant), (ks, dil)) in enumerate(
             zip(enc.blocks, specs)):
+        if i == last and time_take is not None:
+            assert ks == (1, 1), "time_take requires a 1x1 final block"
+            h_q = jnp.take(h_q, jnp.asarray(time_take), axis=2)
         lhs = "NCHW" if (packed and i == 0) else "NHWC"
         acc = _conv_same(h_q, w_q, dil, ks, jnp.int32, lhs_spec=lhs)
         y = jnp.maximum(
@@ -770,13 +783,15 @@ class QuantizedDetector:
         self._calibrated = True
 
     def _head(self, x: jnp.ndarray, num_frames: int, valid_t=None,
-              valid_frames=None) -> jnp.ndarray:
+              valid_frames=None, pre_resampled: bool = False) -> jnp.ndarray:
         from sos_tpu.ops.resize import nearest_resize_1d
 
         cfg = self.cfg
         bsz, f, t, c = x.shape
         x = jnp.transpose(x, (0, 2, 3, 1)).reshape(bsz, t, c * f)
-        if valid_t is None:
+        if pre_resampled:
+            assert t == num_frames
+        elif valid_t is None:
             x = nearest_resize_1d(x, num_frames, axis=1)
         else:
             # exact dynamic nearest resample onto [0, valid_t) — same
@@ -795,9 +810,21 @@ class QuantizedDetector:
         x = TorchLinear(1).apply({"params": self.head_params["fc2"]}, x)
         return x[..., 0]
 
+    def _time_take(self, t_in: int, num_frames: int):
+        from sos_tpu.ops.resize import _nearest_indices
+
+        return _nearest_indices(t_in, num_frames)
+
     def __call__(self, spec: jnp.ndarray, num_frames: int, valid_t=None,
                  valid_frames=None) -> jnp.ndarray:
         assert self._calibrated, "call calibrate() before the first forward"
+        if valid_t is None:
+            # fixed-shape fast path: resample on int8 BEFORE the 1x1 proj
+            # (bit-identical; proj commutes with time subsetting)
+            h = _run_encoder_int8(
+                self.enc, self._specs(), spec,
+                time_take=self._time_take(spec.shape[2], num_frames))
+            return self._head(h, num_frames, pre_resampled=True)
         h = _run_encoder_int8(self.enc, self._specs(), spec, valid_t=valid_t)
         return self._head(h, num_frames, valid_t, valid_frames)
 
@@ -805,5 +832,7 @@ class QuantizedDetector:
                       num_frames: int) -> jnp.ndarray:
         assert self._calibrated, "call calibrate() before the first forward"
         x = jnp.swapaxes(jnp.stack([re, im], axis=1), -1, -2)  # (B,2,F,T)
-        h = _run_encoder_int8(self.enc, self._specs(), x, packed=True)
-        return self._head(h, num_frames)
+        h = _run_encoder_int8(self.enc, self._specs(), x, packed=True,
+                              time_take=self._time_take(x.shape[3],
+                                                        num_frames))
+        return self._head(h, num_frames, pre_resampled=True)
