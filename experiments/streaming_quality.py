@@ -53,7 +53,7 @@ def main() -> None:
     from sos_tpu.cli.predict_denoiser import load_denoiser_variables
     from sos_tpu.data.index import DatasetIndex
     from sos_tpu.dsp import audio_io
-    from sos_tpu.dsp.mixing import mix_at_snr_np
+    from sos_tpu.dsp.mixing import crop_noise_np, mix_at_snr_np
     from sos_tpu.eval.speech import evaluate_metrics
     from sos_tpu.infer.denoise import DenoiserPredictor
     from sos_tpu.infer.detect import DetectorPredictor
@@ -98,10 +98,7 @@ def main() -> None:
         track, _ = audio_io.load(
             os.path.join(noise_dir, noise_files[i % len(noise_files)]),
             sr=sr)
-        start = int(rng.integers(0, max(1, len(track) - len(clean) + 1)))
-        crop = np.zeros(len(clean), np.float32)
-        seg = track[start:start + len(clean)]
-        crop[: len(seg)] = seg
+        crop = crop_noise_np(track, len(clean), rng=rng)
         mixed, clean_sig, _ = mix_at_snr_np(clean, crop, args.snr,
                                             norm=cfg.data.mix_norm)
 
@@ -109,7 +106,9 @@ def main() -> None:
         bits, _ = detector.predict_waveform(mixed, num_frames)
         bits_str = "".join(str(int(b)) for b in bits)
         outs = {
-            "whole": denoiser.denoise_waveform(mixed, bits_str)["denoised"],
+            "whole": denoiser.denoise_waveform(
+                mixed, bits_str,
+                framerate=cfg.data.frame_rate)["denoised"],
         }
         for mode, s in streams.items():
             outs[mode] = s.denoise(mixed)

@@ -9,8 +9,9 @@ Protocol (stdin/stdout, one request per line):
     <input.wav>\t<output.wav>      denoise input -> output
     PING                           liveness check -> "PONG"
     STATS                          counters -> "STATS ok=N err=N audio_s=X
-                                   wall_s=Y rtf=Z" (rtf = served audio
-                                   seconds per wall second, lifetime)
+                                   busy_s=Y rtf=Z" (busy_s = compute-stage
+                                   wall; rtf = served audio seconds per
+                                   second of chip time, lifetime)
     QUIT                           graceful shutdown (drains pending work)
 
 Responses: "OK <output> <seconds_of_audio> <wall_seconds>" or
@@ -113,11 +114,13 @@ class ServeLoop:
                         self.emit("PONG")
                         continue
                     if line == "STATS":
+                        # busy_s = non-overlapping compute-stage wall, so
+                        # rtf = served audio per second of chip time
                         rtf = self.audio_s / self.busy_s \
                             if self.busy_s > 0 else 0.0
                         self.emit(f"STATS ok={self.n_ok} err={self.n_err} "
                                   f"audio_s={self.audio_s:.2f} "
-                                  f"wall_s={self.busy_s:.2f} rtf={rtf:.1f}")
+                                  f"busy_s={self.busy_s:.2f} rtf={rtf:.1f}")
                         continue
                     try:
                         src, dst = line.split("\t")
@@ -161,7 +164,6 @@ class ServeLoop:
                     wall = time.perf_counter() - t0
                     self.n_ok += 1
                     self.audio_s += secs
-                    self.busy_s += wall
                     self.emit(f"OK {dst} {secs:.2f} {wall:.2f}")
                 except Exception as exc:  # emit itself failed
                     self._emit_failed = exc
@@ -186,18 +188,27 @@ class ServeLoop:
                 reqs = [payload for kind, payload, _ in batch
                         if kind == "req"]
                 done = done or any(k == "__done__" for k, _, _ in batch)
+                # outs[i]: denoised wav or ("err", msg) — a failing
+                # request must NOT poison the others drained with it
                 outs: list = []
-                fail = None
                 if reqs:
-                    try:
-                        if len(reqs) > 1 and self.denoise_many is not None:
-                            outs = self.denoise_many(
-                                [wav for _, wav, _ in reqs])
-                        else:
-                            outs = [self.denoise(wav)
-                                    for _, wav, _ in reqs]
-                    except Exception as exc:  # keep serving afterwards
-                        fail = _one_line(exc)
+                    t_busy = time.perf_counter()
+                    if len(reqs) > 1 and self.denoise_many is not None:
+                        try:
+                            outs = list(self.denoise_many(
+                                [wav for _, wav, _ in reqs]))
+                        except Exception:
+                            outs = []  # isolate per request below
+                    if not outs:
+                        for _, wav, _ in reqs:
+                            try:
+                                outs.append(self.denoise(wav))
+                            except Exception as exc:
+                                outs.append(("err", _one_line(exc)))
+                    # busy time measured around the compute stage only:
+                    # per-request walls overlap under pipelining, this
+                    # does not (STATS rtf stays meaningful)
+                    self.busy_s += time.perf_counter() - t_busy
                 # responses leave in ARRIVAL order: errors stay at their
                 # position relative to the requests drained with them
                 it = iter(outs)
@@ -205,11 +216,12 @@ class ServeLoop:
                     if kind == "err":
                         q_out.put(("err", None, err))
                     elif kind == "req":
-                        if fail is not None:
-                            q_out.put(("err", None, fail))
+                        out = next(it)
+                        if isinstance(out, tuple) and out[0] == "err":
+                            q_out.put(("err", None, out[1]))
                             continue
                         dst, wav, t0 = payload
-                        q_out.put(("req", (dst, next(it),
+                        q_out.put(("req", (dst, out,
                                            len(wav) / self.sample_rate,
                                            t0), None))
         finally:

@@ -74,6 +74,8 @@ class StreamingDenoiser:
         Per-utterance outputs are identical to `denoise` one at a time:
         chunking, bit reconciliation and overlap-add stay per-utterance.
         """
+        if not waveforms:
+            return []
         slices = []  # (start_row, starts, n) per utterance
         all_chunks = []
         row = 0
@@ -92,7 +94,12 @@ class StreamingDenoiser:
             row += len(starts)
         stacked = np.concatenate(all_chunks, axis=0)
 
-        if self.consistent_boundaries:
+        # Reconciliation is a no-op when every utterance fits one chunk,
+        # so the fused single-dispatch program (detector and denoiser
+        # sharing ONE mixed STFT) serves that case — the common short
+        # request in the serve loop keeps its one-dispatch latency.
+        all_single = all(len(starts) == 1 for _, starts, _ in slices)
+        if self.consistent_boundaries and not all_single:
             bits = self._batched(self.pipeline.detect_bits, [stacked])
             for r, starts, _ in slices:
                 bits[r:r + len(starts)] = self.reconcile_bits(

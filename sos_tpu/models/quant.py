@@ -818,7 +818,7 @@ class QuantizedDetector:
     def __call__(self, spec: jnp.ndarray, num_frames: int, valid_t=None,
                  valid_frames=None) -> jnp.ndarray:
         assert self._calibrated, "call calibrate() before the first forward"
-        if valid_t is None:
+        if valid_t is None and valid_frames is None:
             # fixed-shape fast path: resample on int8 BEFORE the 1x1 proj
             # (bit-identical; proj commutes with time subsetting)
             h = _run_encoder_int8(

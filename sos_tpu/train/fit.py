@@ -53,9 +53,17 @@ class GracefulStop:
     processes (any host signaled -> all stop at the same step), so the
     checkpoint barrier cannot deadlock."""
 
+    _NOT_INSTALLED = object()  # distinct from a previous handler of None
+
+    # multi-host: agree on the flag only every N steps — a per-step
+    # collective would block the host each step and defeat async
+    # dispatch. All hosts check at the same step numbers, preserving
+    # the no-deadlock property; signal response lags <= N steps.
+    SYNC_EVERY = 10
+
     def __init__(self):
         self.requested = False
-        self._prev = None
+        self._prev = self._NOT_INSTALLED
 
     def _handler(self, signum, frame):
         self.requested = True
@@ -66,18 +74,23 @@ class GracefulStop:
         try:
             self._prev = signal.signal(signal.SIGTERM, self._handler)
         except ValueError:  # not the main thread (e.g. under a test runner)
-            self._prev = None
+            self._prev = self._NOT_INSTALLED
         return self
 
     def uninstall(self) -> None:
         import signal
 
-        if self._prev is not None:
+        if self._prev is not self._NOT_INSTALLED:
             signal.signal(signal.SIGTERM, self._prev)
-            self._prev = None
+            self._prev = self._NOT_INSTALLED
 
-    def should_stop(self) -> bool:
+    def should_stop(self, step: int) -> bool:
         if jax.process_count() > 1:
+            # a locally-requested stop must STILL wait for the common
+            # sync step — breaking alone would deadlock the checkpoint
+            # barrier on the other hosts
+            if step % self.SYNC_EVERY != 0:
+                return False
             from jax.experimental import multihost_utils
 
             flags = multihost_utils.process_allgather(
@@ -234,7 +247,7 @@ def fit(
                 if (cfg.train.save_step_frequency
                         and clock.step % cfg.train.save_step_frequency == 0):
                     mgr.save(state, clock, "latest")
-                if stop.should_stop():
+                if stop.should_stop(clock.step):
                     # preemption: fall through to the final `latest` save
                     # — with the minibatch cursor in the clock, a
                     # `--continue` resume picks up at the NEXT batch of

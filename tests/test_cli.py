@@ -238,7 +238,7 @@ def test_cli_serve_protocol(cli_env):
         say("STATS")  # after all responses: counters are settled
         stats = hear()
         assert stats.startswith("STATS ") and "ok=2" in stats \
-            and "err=1" in stats, stats
+            and "err=1" in stats and "busy_s=" in stats, stats
         say("QUIT")
         assert hear() == "BYE"
     finally:
