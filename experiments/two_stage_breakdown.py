@@ -28,7 +28,7 @@ from sos_tpu.models import JointDenoiser, SilenceDetector
 from sos_tpu.models.quant import QuantizedDenoiser, QuantizedDetector
 from sos_tpu.models.quant import _run_encoder_int8
 
-BATCH = 128
+BATCH = int(__import__("os").environ.get("BATCH", "128"))
 ITERS = 4
 
 
