@@ -66,6 +66,15 @@ def main() -> None:
             prev = json.load(fp)
         if prev.get("config") == results["config"]:
             results = prev
+        else:
+            # never silently discard a prior sweep (runs cost ~15 min
+            # each on chip): a mismatched config must not overwrite it
+            raise SystemExit(
+                f"{args.out} holds a sweep with a different config:\n"
+                f"  recorded: {prev.get('config')}\n"
+                f"  requested: {results['config']}\n"
+                "refusing to overwrite — pass a different --out or "
+                "delete the file first")
 
     for dtype in ("float32", "bfloat16"):
         for seed in args.seeds:

@@ -1,6 +1,8 @@
 """Long-form streaming throughput (BASELINE config[4]): 60 s utterances
 through StreamingDenoiser, one-pass vs boundary-consistent two-pass,
-int8 profile, random full-size weights.
+int8 profile, random full-size weights. MANY=1 measures
+`denoise_many` (cross-utterance chunk batching) instead of per-utterance
+`denoise`.
 
 Unlike the fused bench (scan-in-one-program), streaming is a host-driven
 chunk pipeline: the measurement includes the real host costs (chunk
@@ -25,6 +27,7 @@ from sos_tpu.models import JointDenoiser, SilenceDetector
 UTTS = int(os.environ.get("UTTS", "8"))
 SECONDS = float(os.environ.get("SECONDS", "60"))
 BATCH_CHUNKS = int(os.environ.get("BATCH_CHUNKS", "128"))
+MANY = bool(os.environ.get("MANY"))
 
 
 def main():
@@ -44,20 +47,26 @@ def main():
             for _ in range(UTTS)]
     audio_sec = UTTS * SECONDS
 
-    results = {"utts": UTTS, "seconds": SECONDS,
+    results = {"mode": "denoise_many" if MANY else "denoise",
+               "utts": UTTS, "seconds": SECONDS,
                "batch_chunks": BATCH_CHUNKS}
     for mode, consistent in (("one_pass", False), ("two_pass", True)):
         s = StreamingDenoiser(cfg, det_vars, den_vars,
                               batch_chunks=BATCH_CHUNKS, profile="int8",
                               consistent_boundaries=consistent)
+        if MANY:
+            run = s.denoise_many
+        else:
+            def run(us, s=s):
+                return [s.denoise(u) for u in us]
         t0 = time.perf_counter()
-        out = s.denoise(utts[0])  # compile + calibrate + warm
+        outs = run(utts[:1])  # compile + calibrate + warm
         print(f"{mode}: warm {time.perf_counter()-t0:.1f}s", flush=True)
-        assert np.isfinite(out).all()
+        assert all(np.isfinite(o).all() for o in outs)
         t0 = time.perf_counter()
-        for u in utts:
-            out = s.denoise(u)
+        outs = run(utts)
         wall = time.perf_counter() - t0
+        assert all(np.isfinite(o).all() for o in outs)
         results[mode] = {"audio_s_per_s": round(audio_sec / wall, 1),
                          "wall_s": round(wall, 2)}
         print(f"{mode}: {results[mode]}", flush=True)
@@ -69,49 +78,5 @@ def main():
     print(json.dumps(results), flush=True)
 
 
-
-
-def many():
-    cfg = ExperimentConfig(denoiser=fast_denoiser_config())
-    sr = cfg.data.sample_rate
-    samples = cfg.data.clip_seconds * sr
-    t = 1 + samples // cfg.stft.hop_length
-    rng = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, cfg.denoiser.freq_bins, t, 2))
-    den_vars = jax.jit(lambda k: JointDenoiser(cfg.denoiser).init(
-        k, dummy, dummy, train=False))(rng)
-    det_vars = jax.jit(lambda k: SilenceDetector(cfg.detector).init(
-        k, dummy, num_frames=60, train=False))(rng)
-    host = np.random.default_rng(0)
-    utts = [host.standard_normal(int(SECONDS * sr)).astype(np.float32) * 0.1
-            for _ in range(UTTS)]
-    audio_sec = UTTS * SECONDS
-    results = {}
-    for mode, consistent in (("one_pass", False), ("two_pass", True)):
-        s = StreamingDenoiser(cfg, det_vars, den_vars,
-                              batch_chunks=BATCH_CHUNKS, profile="int8",
-                              consistent_boundaries=consistent)
-        t0 = time.perf_counter()
-        outs = s.denoise_many(utts[:1])
-        print(f"{mode}: warm {time.perf_counter()-t0:.1f}s", flush=True)
-        t0 = time.perf_counter()
-        outs = s.denoise_many(utts)
-        wall = time.perf_counter() - t0
-        assert all(np.isfinite(o).all() for o in outs)
-        results[mode] = {"audio_s_per_s": round(audio_sec / wall, 1),
-                         "wall_s": round(wall, 2)}
-        print(f"{mode}: {results[mode]}", flush=True)
-    results["two_pass_overhead_pct"] = round(
-        100.0 * (results["two_pass"]["wall_s"] / results["one_pass"]["wall_s"]
-                 - 1.0), 1)
-    print(json.dumps({"mode": "denoise_many", "utts": UTTS,
-                      "seconds": SECONDS, "batch_chunks": BATCH_CHUNKS,
-                      **results}), flush=True)
-
-
-if os.environ.get("MANY"):
-    main = many
-
-
 if __name__ == "__main__":
-    (many if os.environ.get("MANY") else main)()
+    main()

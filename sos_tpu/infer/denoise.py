@@ -85,21 +85,12 @@ class DenoiserPredictor:
         if self._quant is None or self._quant._calibrated:
             return
         if self._calibration_path:
-            from sos_tpu.models.quant import read_calibration_state
+            from sos_tpu.models.quant import load_persisted_calibration
 
-            state = read_calibration_state(self._calibration_path,
-                                           "denoiser")
-            if state is not None:
-                try:
-                    self._quant.load_calibration(state)
-                    return
-                except (KeyError, TypeError, ValueError) as exc:
-                    import logging
-
-                    logging.getLogger(__name__).warning(
-                        "calibration file %s: wrong scale schema (%s) — "
-                        "self-calibrating instead",
-                        self._calibration_path, exc)
+            if load_persisted_calibration(self._quant,
+                                          self._calibration_path,
+                                          "denoiser"):
+                return
         scfg = self.cfg.stft
         spec = stft(jnp.asarray(mixed)[None], scfg.n_fft, scfg.hop_length,
                     scfg.win_length)

@@ -253,16 +253,41 @@ class FusedDenoisePipeline:
             return _fail(
                 'missing the "denoiser" key (expected the schema this '
                 "pipeline writes: {'denoiser': scales, 'detector': scales})")
+
+        # load_calibration mutates scales before the full schema can be
+        # validated, so snapshot first and restore on any rejection —
+        # otherwise a rejected file leaves a partial load behind (the
+        # adopt-on-publish-collision path below must keep its good
+        # self-calibrated scales when the published file is rejected,
+        # or it would serve scales that differ from the file it then
+        # publishes).
+        snap_den = (self._quant.calibration_state()
+                    if self._quant._calibrated else None)
+        snap_det = (self._quant_det.calibration_state()
+                    if self._quant_det is not None
+                    and self._quant_det._calibrated else None)
+
+        def _restore():
+            if snap_den is not None:
+                self._quant.load_calibration(snap_den)
+            else:
+                self._quant._calibrated = False
+            if self._quant_det is not None:
+                if snap_det is not None:
+                    self._quant_det.load_calibration(snap_det)
+                else:
+                    self._quant_det._calibrated = False
+
         try:
             self._quant.load_calibration(state["denoiser"])
             if self._quant_det is not None:
                 if "detector" not in state:
+                    _restore()
                     return _fail('missing the "detector" scales this '
                                  "two-stage pipeline needs")
                 self._quant_det.load_calibration(state["detector"])
         except (KeyError, TypeError, ValueError) as exc:
-            # a partial load is harmless: _calibrated stays False and the
-            # next self-calibration overwrites every scale
+            _restore()
             return _fail(f"wrong scale schema ({type(exc).__name__}: {exc})")
         return True
 

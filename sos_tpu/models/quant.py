@@ -737,6 +737,29 @@ def read_calibration_state(path: str, key: str) -> Optional[Dict]:
     return state[key]
 
 
+def load_persisted_calibration(quant, path: str, key: str) -> bool:
+    """Load `quant`'s activation scales from the persisted calibration
+    JSON at `path` ({"denoiser": ..., "detector": ...} schema). False —
+    with a logged warning — when the file is absent, unreadable, or
+    carries the wrong scale schema; callers then self-calibrate. Only
+    for not-yet-calibrated quant objects: a failed load can leave
+    partial scales behind, harmless because `_calibrated` stays False
+    and the subsequent self-calibration overwrites every scale."""
+    import logging
+
+    state = read_calibration_state(path, key)
+    if state is None:
+        return False
+    try:
+        quant.load_calibration(state)
+        return True
+    except (KeyError, TypeError, ValueError) as exc:
+        logging.getLogger(__name__).warning(
+            "calibration file %s: wrong scale schema (%s) — "
+            "self-calibrating instead", path, exc)
+        return False
+
+
 class QuantizedDetector:
     """SilenceDetector with an int8 conv trunk (models/detector.py; the
     trunk is ~90% of detector FLOPs). BiLSTM + FC head stay float32.

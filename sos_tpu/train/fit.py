@@ -286,6 +286,12 @@ def fit(
                 mgr.save_epoch(state, clock)
             if epoch_hook:
                 epoch_hook(epoch, state, epoch_metrics)
+        # The final 'latest' save runs while the graceful-SIGTERM handler
+        # is still installed: preemption systems routinely deliver SIGTERM
+        # more than once, and reverting to the default handler before this
+        # write would let a repeat signal kill the process mid-checkpoint
+        # — corrupting the very 'latest' the graceful stop exists to save.
+        mgr.save(state, clock, "latest")
     finally:
         # exception-safe teardown (OOM/interrupt): the jsonl handle and
         # the tensorboard writers must not leak buffered events
@@ -294,5 +300,4 @@ def fit(
         for writer in (train_tb, val_tb):
             if writer is not None:
                 writer.close()
-    mgr.save(state, clock, "latest")
     return state

@@ -303,3 +303,22 @@ def test_serve_loop_overlaps_io_with_compute():
     serial = 3 * D * k
     # overlapped: ~(k+2)*D plus scheduling noise; assert well under serial
     assert wall < serial * 0.75, (wall, serial)
+
+
+def test_top_level_dispatcher(capsys):
+    """`python -m sos_tpu <cmd>` resolves every CLI from one entry."""
+    from sos_tpu.__main__ import COMMANDS, main
+
+    assert main([]) == 2
+    assert main(["--help"]) == 0
+    out = capsys.readouterr().out
+    for name in COMMANDS:
+        assert name in out
+
+    assert main(["not_a_command"]) == 2
+
+    # dispatch reaches the target module's argparse
+    with pytest.raises(SystemExit) as exc:
+        main(["report", "--help"])
+    assert exc.value.code == 0
+    assert "report" in capsys.readouterr().out

@@ -338,6 +338,58 @@ def test_calibration_race_converges_on_winner(setup, tmp_path):
             == p1._quant_det.calibration_state())
 
 
+def test_calibration_rejected_file_restores_scales(setup, tmp_path):
+    """Rejecting a calibration file must not leave a partial load behind:
+    a file with valid denoiser scales but missing detector scales is
+    rejected WITHOUT replacing the pipeline's good self-calibrated
+    denoiser scales (the adopt-on-publish-collision path depends on
+    this: otherwise a process would serve scales that differ from the
+    file it then publishes)."""
+    import json as _json
+
+    from sos_tpu.config import (DataConfig, DetectorModelConfig,
+                                ExperimentConfig)
+    from sos_tpu.infer.fused import FusedDenoisePipeline
+    from sos_tpu.models import SilenceDetector
+
+    cfg_d, model, v, x, y = setup
+    det_cfg = DetectorModelConfig(nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
+                                  dilations=((1, 1), (2, 2)),
+                                  lstm_hidden=4, fc_hidden=4)
+    cfg = ExperimentConfig(detector=det_cfg, denoiser=cfg_d,
+                           data=DataConfig())
+    det = SilenceDetector(det_cfg)
+    dv = det.init(jr.PRNGKey(9), jnp.zeros((1, 256, 90, 2)))
+    mixed = jr.normal(jr.PRNGKey(10), (2, 28000)) * 0.2
+
+    good_path = str(tmp_path / "good.json")
+    p = FusedDenoisePipeline(cfg, dv, v, profile="int8",
+                             calibration_path=good_path)
+    p(mixed)  # self-calibrates and publishes
+    good_den = p._quant.calibration_state()
+    good_det = p._quant_det.calibration_state()
+
+    # denoiser-only file (e.g. published by a denoiser-only process):
+    # valid "denoiser" scales that DIFFER from p's, no "detector" key
+    other = FusedDenoisePipeline(cfg, dv, v, profile="int8")
+    other._maybe_calibrate(np.asarray(mixed) * 7.0)
+    partial = tmp_path / "partial.json"
+    partial.write_text(_json.dumps(
+        {"denoiser": other._quant.calibration_state()}))
+    assert other._quant.calibration_state() != good_den
+
+    assert p.load_calibration_file(str(partial)) is False
+    assert p._quant.calibration_state() == good_den
+    assert p._quant_det.calibration_state() == good_det
+
+    # a never-calibrated pipeline rejecting the same file must stay
+    # uncalibrated on BOTH models (so self-calibration covers both)
+    p2 = FusedDenoisePipeline(cfg, dv, v, profile="int8")
+    assert p2.load_calibration_file(str(partial)) is False
+    assert not p2._quant._calibrated
+    assert not p2._quant_det._calibrated
+
+
 def test_quantized_valid_t_bucketed_exact(setup):
     """The int8 pipeline's length-bucketed path (valid_t) matches the
     fixed-shape int8 program on the valid region: the padded tail +
