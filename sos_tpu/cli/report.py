@@ -5,16 +5,23 @@ Usage:
     python -m sos_tpu.cli.report --results_dir outputs/ [--plot report.png]
     python -m sos_tpu.cli.report --train_log <log_dir> \
         [--train_plot curves.png]
+    python -m sos_tpu.cli.report --results_dir outputs/ \
+        --train_log <log_dir> --html report.html
 
 Equivalent of model_2 `draw_agg_stats.py` (:10-127) for the per-SNR
 table/plots; the training-curve view renders the durable
 `metrics.jsonl` written by train/fit.py (train/val loss, steps/sec,
 epoch validation metrics) — the dashboard the reference only had via a
-live tensorboard process.
+live tensorboard process. `--html` bundles every requested section
+(per-SNR table+plot, training summary+curves, profile deltas) into ONE
+self-contained file (plots embedded as base64 PNGs, numeric tables
+alongside every chart) that can be archived with the experiment or
+attached to a report.
 """
 
 import argparse
 import glob
+import html as _html
 import json
 import os
 import re
@@ -23,6 +30,13 @@ from collections import OrderedDict
 METRIC_KEYS = ("avg_l1", "avg_stoi", "avg_csig", "avg_cbak", "avg_covl",
                "avg_pesq", "avg_ssnr_regular", "avg_ssnr_shift",
                "avg_ssnr_clip", "avg_ssnr_exsi", "avg_overall_snr")
+
+# Paul Tol's published colorblind-safe "bright" hues; train/val are
+# additionally separated by linestyle so identity never rides on color
+# alone. Single-series panels always use the first hue (color follows
+# the entity, not the panel).
+_C_TRAIN = "#4477AA"
+_C_VAL = "#EE6677"
 
 
 def collect(results_dir: str) -> "OrderedDict[float, dict]":
@@ -62,12 +76,122 @@ def load_train_log(path: str):
                   key=lambda r: (r["step"], r["epoch"], r["kind"]))
 
 
-def train_report(rows, plot_path=None) -> None:
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def _metric_lower_is_better(key: str) -> bool:
+    return any(t in key for t in ("loss", "stage", "l1", "wss", "llr"))
+
+
+def train_summary(rows):
+    """Digest the metrics log into printable/renderable tables:
+    (last_train_row_items, epoch_rows, best_per_epoch_metric)."""
     by_kind = {}
     for r in rows:
         by_kind.setdefault(r["kind"], []).append(r)
     train = by_kind.get("train", [])
+    epochs = by_kind.get("epoch", [])
+    skip = ("kind", "step", "epoch", "ckpt_epoch")
+    best = []
+    if epochs:
+        keys = [k for k in epochs[-1] if k not in skip]
+        for key in keys:
+            lower = _metric_lower_is_better(key)
+            series = [(r, r[key]) for r in epochs if key in r]
+            best_r, best_v = (min if lower else max)(series,
+                                                     key=lambda t: t[1])
+            best.append({"metric": f"epoch_{key}",
+                         "which": "min" if lower else "max",
+                         "value": best_v, "epoch": best_r["epoch"],
+                         "ckpt_epoch": best_r.get("ckpt_epoch")})
+    return by_kind, best
+
+
+def train_curves_figure(by_kind):
+    plt = _plt()
+    train = by_kind.get("train", [])
     val = by_kind.get("val", [])
+    epochs = by_kind.get("epoch", [])
+    metric_keys = []
+    for r in train + val:
+        for k in r:
+            if k not in ("kind", "step", "epoch") and k not in metric_keys:
+                metric_keys.append(k)
+    epoch_keys = []
+    for r in epochs:
+        for k in r:
+            if (k not in ("kind", "step", "epoch", "ckpt_epoch")
+                    and k not in epoch_keys):
+                epoch_keys.append(k)
+    n = len(metric_keys) + len(epoch_keys)
+    cols = 3
+    rows_n = max(1, -(-n // cols))
+    fig, axes = plt.subplots(rows_n, cols, figsize=(4 * cols, 3 * rows_n),
+                             squeeze=False)
+    flat = axes.flat
+    for i, key in enumerate(metric_keys):
+        ax = flat[i]
+        plotted = 0
+        for kind, series, style, color in (
+                ("train", train, "-", _C_TRAIN),
+                ("val", val, "--", _C_VAL)):
+            pts = [(r["step"], r[key]) for r in series if key in r]
+            if pts:
+                # short series would be invisible as a bare line (a
+                # single point has no segment): add markers until the
+                # line carries the shape on its own
+                marker = "o" if len(pts) < 25 else None
+                ax.plot(*zip(*pts), style, color=color, label=kind,
+                        alpha=0.85, linewidth=1.6, marker=marker,
+                        markersize=4)
+                plotted += 1
+        ax.set_title(key)
+        ax.set_xlabel("step")
+        if plotted > 1:  # a single series is named by the title
+            ax.legend(fontsize=7)
+        ax.grid(alpha=0.3)
+    for j, key in enumerate(epoch_keys):
+        ax = flat[len(metric_keys) + j]
+        pts = [(r["epoch"], r[key]) for r in epochs if key in r]
+        ax.plot(*zip(*pts), marker="o", color=_C_TRAIN, linewidth=1.6)
+        ax.set_title(f"epoch {key}")
+        ax.set_xlabel("epoch")
+        ax.grid(alpha=0.3)
+    for ax in list(flat)[n:]:
+        ax.axis("off")
+    fig.tight_layout()
+    return fig
+
+
+def snr_figure(table, keys):
+    plt = _plt()
+    n = len(keys)
+    cols = 3
+    rows = -(-n // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 3 * rows),
+                             squeeze=False)
+    snrs = list(table.keys())
+    for ax, key in zip(axes.flat, keys):
+        ax.plot(snrs, [table[s].get(key) for s in snrs], marker="o",
+                color=_C_TRAIN, linewidth=1.6)
+        ax.set_title(key.replace("avg_", ""))
+        ax.set_xlabel("input SNR (dB)")
+        ax.grid(alpha=0.3)
+    for ax in list(axes.flat)[n:]:
+        ax.axis("off")
+    fig.tight_layout()
+    return fig
+
+
+def train_report(rows, plot_path=None) -> None:
+    by_kind, best = train_summary(rows)
+    train = by_kind.get("train", [])
     epochs = by_kind.get("epoch", [])
     if train:
         last = train[-1]
@@ -80,89 +204,151 @@ def train_report(rows, plot_path=None) -> None:
         keys = [k for k in last if k not in skip]
         print(f"epoch {last['epoch']}: "
               + " ".join(f"{k}={last[k]:.5g}" for k in keys))
-        for key in keys:
-            # loss-style metrics: lower is better
-            lower = any(t in key for t in ("loss", "stage", "l1", "wss",
-                                           "llr"))
-            series = [(r, r[key]) for r in epochs if key in r]
-            best_r, best_v = (min if lower else max)(series,
-                                                     key=lambda t: t[1])
-            which = "min" if lower else "max"
-            ck = best_r.get("ckpt_epoch")
-            ck_s = f" (ckpt_epoch{ck})" if ck is not None else ""
-            print(f"  best({which}) epoch_{key}: {best_v:.5g} "
-                  f"@ epoch {best_r['epoch']}{ck_s}")
+        for b in best:
+            ck_s = (f" (ckpt_epoch{b['ckpt_epoch']})"
+                    if b["ckpt_epoch"] is not None else "")
+            print(f"  best({b['which']}) {b['metric']}: {b['value']:.5g} "
+                  f"@ epoch {b['epoch']}{ck_s}")
     if plot_path:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        metric_keys = []
-        for r in train + val:
-            for k in r:
-                if k not in ("kind", "step", "epoch") and k not in metric_keys:
-                    metric_keys.append(k)
-        epoch_keys = []
-        for r in epochs:
-            for k in r:
-                if (k not in ("kind", "step", "epoch", "ckpt_epoch")
-                        and k not in epoch_keys):
-                    epoch_keys.append(k)
-        n = len(metric_keys) + len(epoch_keys)
-        cols = 3
-        rows_n = max(1, -(-n // cols))
-        fig, axes = plt.subplots(rows_n, cols,
-                                 figsize=(4 * cols, 3 * rows_n),
-                                 squeeze=False)
-        flat = axes.flat
-        for i, key in enumerate(metric_keys):
-            ax = flat[i]
-            for kind, series, style in (("train", train, "-"),
-                                        ("val", val, "--")):
-                pts = [(r["step"], r[key]) for r in series if key in r]
-                if pts:
-                    ax.plot(*zip(*pts), style, label=kind, alpha=0.8)
-            ax.set_title(key)
-            ax.set_xlabel("step")
-            ax.legend(fontsize=7)
-            ax.grid(alpha=0.3)
-        for j, key in enumerate(epoch_keys):
-            ax = flat[len(metric_keys) + j]
-            pts = [(r["epoch"], r[key]) for r in epochs if key in r]
-            ax.plot(*zip(*pts), marker="o")
-            ax.set_title(f"epoch {key}")
-            ax.set_xlabel("epoch")
-            ax.grid(alpha=0.3)
-        for ax in list(flat)[n:]:
-            ax.axis("off")
-        fig.tight_layout()
+        fig = train_curves_figure(by_kind)
         fig.savefig(plot_path, dpi=120)
         print(f"wrote {plot_path}")
 
 
-def compare_evals(path_a: str, path_b: str) -> None:
+def load_compare(path_a: str, path_b: str):
     """Per-SNR metric deltas between two eval JSONs (e.g. the f32 and
     int8 outputs of `cli.eval_synthetic --out`): certifies a serving
-    profile's quality cost in one command."""
+    profile's quality cost. Returns (rows, snrs_only_in_one)."""
     with open(path_a) as fp:
         a = json.load(fp)
     with open(path_b) as fp:
         b = json.load(fp)
-    name_a = os.path.basename(path_a)
-    name_b = os.path.basename(path_b)
-    print(f"delta = {name_b} - {name_a}")
+    rows = []
     for snr_key in sorted(set(a) & set(b),
                           key=lambda k: float(k.split("_", 1)[1])):
         keys = [k for k in a[snr_key]
                 if k.startswith("avg_") and k in b[snr_key]]
-        deltas = " ".join(
-            f"{k.replace('avg_', '')}{b[snr_key][k] - a[snr_key][k]:+.4f}"
-            for k in keys)
-        print(f"{snr_key}: {deltas}")
+        rows.append((snr_key, [(k, b[snr_key][k] - a[snr_key][k])
+                               for k in keys]))
     only = sorted((set(a) | set(b)) - (set(a) & set(b)))
+    return rows, only
+
+
+def compare_evals(path_a: str, path_b: str) -> None:
+    rows, only = load_compare(path_a, path_b)
+    print(f"delta = {os.path.basename(path_b)} - {os.path.basename(path_a)}")
+    for snr_key, deltas in rows:
+        print(f"{snr_key}: " + " ".join(
+            f"{k.replace('avg_', '')}{d:+.4f}" for k, d in deltas))
     if only:
         print(f"(SNRs present in only one file: {only})")
+
+
+# -- self-contained HTML dashboard ---------------------------------------
+
+_HTML_CSS = """
+body { font: 14px/1.5 system-ui, sans-serif; color: #222; margin: 2em auto;
+       max-width: 1280px; padding: 0 1em; }
+h1 { font-size: 1.4em; } h2 { font-size: 1.1em; margin-top: 2em; }
+table { border-collapse: collapse; margin: 0.8em 0; }
+th, td { border: 1px solid #ccc; padding: 3px 9px; text-align: right;
+         font-variant-numeric: tabular-nums; }
+th { background: #f2f2f2; text-align: center; }
+td.l, th.l { text-align: left; }
+img { max-width: 100%; border: 1px solid #eee; margin: 0.5em 0; }
+.meta { color: #666; font-size: 0.9em; }
+"""
+
+
+def _fig_b64(fig) -> str:
+    import base64
+    import io
+
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png", dpi=110)
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _table_html(header, rows):
+    e = _html.escape
+    out = ["<table><tr>"]
+    out += [f'<th class="l">{e(str(header[0]))}</th>']
+    out += [f"<th>{e(str(h))}</th>" for h in header[1:]]
+    out.append("</tr>")
+    for row in rows:
+        out.append("<tr>" + f'<td class="l">{e(str(row[0]))}</td>' + "".join(
+            f"<td>{e(str(c))}</td>" for c in row[1:]) + "</tr>")
+    out.append("</table>")
+    return "".join(out)
+
+
+def html_report(out_path, snr_table=None, train_rows=None, compare=None,
+                sources=None) -> None:
+    """Write one self-contained HTML file with every requested section;
+    each chart is paired with its numeric table (the table IS the
+    accessible/table view of the chart, not an extra)."""
+    e = _html.escape
+    parts = ["<!doctype html><html><head><meta charset='utf-8'>"
+             "<title>sos_tpu report</title>"
+             f"<style>{_HTML_CSS}</style></head><body>",
+             "<h1>sos_tpu experiment report</h1>"]
+    if sources:
+        parts.append("<p class='meta'>" + "<br>".join(
+            f"{e(k)}: <code>{e(str(v))}</code>" for k, v in sources.items())
+            + "</p>")
+
+    if snr_table:
+        keys = [k for k in METRIC_KEYS if k in next(iter(snr_table.values()))]
+        parts.append("<h2>Denoising quality vs input SNR</h2>")
+        parts.append(_table_html(
+            ["snr_db"] + [k.replace("avg_", "") for k in keys],
+            [[f"{snr:+.0f}"] + [f"{stats.get(k, float('nan')):.4f}"
+                                for k in keys]
+             for snr, stats in snr_table.items()]))
+        fig = snr_figure(snr_table, keys)
+        parts.append(f'<img alt="metric-vs-SNR curves" '
+                     f'src="data:image/png;base64,{_fig_b64(fig)}">')
+
+    if train_rows:
+        by_kind, best = train_summary(train_rows)
+        parts.append("<h2>Training</h2>")
+        train = by_kind.get("train", [])
+        epochs = by_kind.get("epoch", [])
+        if train:
+            last = train[-1]
+            keys = [k for k in last if k not in ("kind", "step", "epoch")]
+            parts.append(f"<p>{len(train)} logged steps; last step "
+                         f"{last['step']}: " + ", ".join(
+                             f"{e(k)}={last[k]:.5g}" for k in keys) + "</p>")
+        if best:
+            parts.append(_table_html(
+                ["best epoch metric", "value", "epoch", "checkpoint"],
+                [[f"{b['which']} {b['metric']}", f"{b['value']:.5g}",
+                  b["epoch"],
+                  (f"ckpt_epoch{b['ckpt_epoch']}"
+                   if b["ckpt_epoch"] is not None else "—")] for b in best]))
+        if train or epochs:
+            fig = train_curves_figure(by_kind)
+            parts.append(f'<img alt="training curves" '
+                         f'src="data:image/png;base64,{_fig_b64(fig)}">')
+
+    if compare:
+        rows, only = compare
+        parts.append("<h2>Profile comparison (metric deltas)</h2>")
+        if rows:
+            keys = [k for k, _ in rows[0][1]]
+            parts.append(_table_html(
+                ["snr"] + [k.replace("avg_", "") for k in keys],
+                [[snr_key] + [f"{d:+.4f}" for _, d in deltas]
+                 for snr_key, deltas in rows]))
+        if only:
+            parts.append(f"<p class='meta'>SNRs present in only one file: "
+                         f"{e(str(only))}</p>")
+
+    parts.append("</body></html>")
+    with open(out_path, "w") as fp:
+        fp.write("".join(parts))
+    print(f"wrote {out_path}")
 
 
 def main() -> None:
@@ -177,46 +363,48 @@ def main() -> None:
                         help="print per-SNR metric deltas between two "
                              "eval_synthetic --out files (profile "
                              "certification)")
+    parser.add_argument("--html", type=str, default=None,
+                        help="bundle every requested section into one "
+                             "self-contained HTML dashboard")
     args = parser.parse_args()
+    if not (args.results_dir or args.train_log or args.compare):
+        parser.error("need --results_dir, --train_log and/or --compare")
+
+    train_rows = load_train_log(args.train_log) if args.train_log else None
     if args.compare:
         compare_evals(*args.compare)
-    if args.train_log:
-        train_report(load_train_log(args.train_log), args.train_plot)
-    if not args.results_dir:
-        if not (args.train_log or args.compare):
-            parser.error("need --results_dir, --train_log and/or --compare")
-        return
-    table = collect(args.results_dir)
-    if not table:
-        print("no eval_results_snr*.json files found")
-        return
-    keys = [k for k in METRIC_KEYS if k in next(iter(table.values()))]
-    header = "snr_db " + " ".join(k.replace("avg_", "") for k in keys)
-    print(header)
-    for snr, stats in table.items():
-        print(f"{snr:+.0f} " + " ".join(
-            f"{stats.get(k, float('nan')):.4f}" for k in keys))
-    if args.plot:
-        import matplotlib
+    if train_rows is not None:
+        train_report(train_rows, args.train_plot)
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+    table = None
+    if args.results_dir:
+        table = collect(args.results_dir)
+        if not table:
+            print("no eval_results_snr*.json files found")
+        else:
+            keys = [k for k in METRIC_KEYS
+                    if k in next(iter(table.values()))]
+            print("snr_db " + " ".join(k.replace("avg_", "") for k in keys))
+            for snr, stats in table.items():
+                print(f"{snr:+.0f} " + " ".join(
+                    f"{stats.get(k, float('nan')):.4f}" for k in keys))
+            if args.plot:
+                snr_figure(table, keys).savefig(args.plot, dpi=120)
+                print(f"wrote {args.plot}")
 
-        n = len(keys)
-        cols = 3
-        rows = -(-n // cols)
-        fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 3 * rows))
-        snrs = list(table.keys())
-        for ax, key in zip(axes.flat, keys):
-            ax.plot(snrs, [table[s].get(key) for s in snrs], marker="o")
-            ax.set_title(key.replace("avg_", ""))
-            ax.set_xlabel("input SNR (dB)")
-            ax.grid(alpha=0.3)
-        for ax in axes.flat[n:]:
-            ax.axis("off")
-        fig.tight_layout()
-        fig.savefig(args.plot, dpi=120)
-        print(f"wrote {args.plot}")
+    if args.html:
+        sources = {}
+        if args.results_dir:
+            sources["results_dir"] = args.results_dir
+        if args.train_log:
+            sources["train_log"] = args.train_log
+        if args.compare:
+            sources["compare"] = f"{args.compare[1]} - {args.compare[0]}"
+        html_report(args.html, snr_table=table or None,
+                    train_rows=train_rows,
+                    compare=load_compare(*args.compare) if args.compare
+                    else None,
+                    sources=sources)
 
 
 if __name__ == "__main__":

@@ -322,3 +322,45 @@ def test_top_level_dispatcher(capsys):
         main(["report", "--help"])
     assert exc.value.code == 0
     assert "report" in capsys.readouterr().out
+
+
+def test_report_html_dashboard(tmp_path, monkeypatch, capsys):
+    """--html bundles the per-SNR table, training curves and profile
+    deltas into one self-contained file (plots embedded base64)."""
+    results = tmp_path / "results"
+    results.mkdir()
+    stats = {k: 1.0 for k in (
+        "avg_l1", "avg_stoi", "avg_csig", "avg_cbak", "avg_covl",
+        "avg_pesq", "avg_ssnr_regular", "avg_ssnr_shift", "avg_ssnr_clip",
+        "avg_ssnr_exsi", "avg_overall_snr")}
+    for snr, s in ((0, stats), (10, {k: 2.0 for k in stats})):
+        (results / f"eval_results_snr{snr}.json").write_text(
+            json.dumps({"denoise_statistics": s}))
+    log = tmp_path / "log"
+    log.mkdir()
+    rows = [
+        {"kind": "train", "step": s, "epoch": 0, "loss": 1.0 / (s + 1)}
+        for s in range(3)
+    ] + [{"kind": "val", "step": 2, "epoch": 0, "loss": 0.5},
+         {"kind": "epoch", "step": 2, "epoch": 0, "accuracy": 0.9,
+          "ckpt_epoch": 1}]
+    (log / "metrics.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows))
+    eval_a = tmp_path / "a.json"
+    eval_b = tmp_path / "b.json"
+    eval_a.write_text(json.dumps({"snr_0": {"avg_stoi": 0.8}}))
+    eval_b.write_text(json.dumps({"snr_0": {"avg_stoi": 0.79}}))
+
+    from sos_tpu.cli import report
+
+    out = tmp_path / "dash.html"
+    _run(report.main,
+         ["--results_dir", str(results), "--train_log", str(log),
+          "--compare", str(eval_a), str(eval_b), "--html", str(out)],
+         monkeypatch)
+    capsys.readouterr()
+    html = out.read_text()
+    assert html.count("data:image/png;base64,") == 2
+    assert "Denoising quality vs input SNR" in html
+    assert "best epoch metric" in html and "ckpt_epoch1" in html
+    assert "Profile comparison" in html and "-0.0100" in html
