@@ -327,7 +327,7 @@ def html_report(out_path, snr_table=None, train_rows=None, compare=None,
                   b["epoch"],
                   (f"ckpt_epoch{b['ckpt_epoch']}"
                    if b["ckpt_epoch"] is not None else "—")] for b in best]))
-        if train or epochs:
+        if train or by_kind.get("val") or epochs:
             fig = train_curves_figure(by_kind)
             parts.append(f'<img alt="training curves" '
                          f'src="data:image/png;base64,{_fig_b64(fig)}">')
