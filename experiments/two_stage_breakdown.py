@@ -4,7 +4,7 @@ Variants (all batch 128, 2 s clips, packed layout, int8 trunks):
   base      : denoiser-only int8 (reference point ~1108 audio-s/s)
   det_trunk : base + detector int8 conv trunk (output consumed via tiny sum)
   det_full  : base + full detector logits (trunk + resize + BiLSTM + FC)
-  mask_only : base + mask construction from RANDOM bits (no detector)
+  mask_only : base + mask construction from input-derived bits (no detector)
   two_stage : the real fused program (det_full bits -> mask -> gated stft)
 """
 import json
@@ -81,9 +81,6 @@ def main():
     qdet = QuantizedDetector(det_cfg, det_vars)
     qdet.calibrate([spec8])
 
-    rbits = (jax.random.uniform(k2, (BATCH, num_frames)) > 0.5).astype(
-        jnp.float32)
-
     def denoise_from(mr, mi, smask):
         gr, gi = stft_packed(smask)
         cr, ci = quant.crm_packed(mr, mi, gr, gi)
@@ -109,7 +106,12 @@ def main():
 
     def step_mask_only(mixed, maskw):
         mr, mi = stft_packed(mixed)
-        smask = bitstream_to_sample_mask(rbits, ratio, samples,
+        # Bits must depend on the scanned input: with closure-constant
+        # bits the whole bits->mask construction is loop-invariant and
+        # XLA hoists it out of the scan, reporting ~zero cost (the same
+        # constant-folding pitfall the old denoiser-only bench had).
+        bits = (mixed[:, :num_frames] > 0).astype(jnp.float32)
+        smask = bitstream_to_sample_mask(bits, ratio, samples,
                                          cfg.data.despeckle_min_run)
         return denoise_from(mr, mi, mixed * smask)
 

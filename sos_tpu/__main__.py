@@ -10,7 +10,9 @@ both model dirs; here any command runs from anywhere):
 `python -m sos_tpu.cli.<command>` remains equivalent; this wrapper only
 resolves the name and delegates, so both forms share argparse behavior.
 """
+import ast
 import importlib
+import os
 import sys
 
 COMMANDS = (
@@ -21,14 +23,25 @@ COMMANDS = (
 )
 
 
+def _summary(name: str) -> str:
+    """First docstring line of sos_tpu/cli/<name>.py WITHOUT importing it
+    (each CLI module pulls the jax/matplotlib import chains; --help must
+    stay instant)."""
+    path = os.path.join(os.path.dirname(__file__), "cli", f"{name}.py")
+    try:
+        with open(path) as fp:
+            doc = ast.get_docstring(ast.parse(fp.read())) or ""
+    except (OSError, SyntaxError):
+        return ""
+    return doc.strip().splitlines()[0] if doc.strip() else ""
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: python -m sos_tpu <command> [args...]\n\ncommands:")
         for name in COMMANDS:
-            mod = importlib.import_module(f"sos_tpu.cli.{name}")
-            doc = (mod.__doc__ or "").strip().splitlines()
-            print(f"  {name:<18} {doc[0] if doc else ''}")
+            print(f"  {name:<18} {_summary(name)}")
         print("\nper-command help: python -m sos_tpu <command> --help")
         return 0 if argv else 2
     name, rest = argv[0], argv[1:]

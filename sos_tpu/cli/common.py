@@ -9,17 +9,22 @@ from typing import Tuple
 from sos_tpu.config import ExperimentConfig
 
 
-def experiment_dirs(cfg: ExperimentConfig, stage: str) -> Tuple[str, str, str]:
+def experiment_dirs(cfg: ExperimentConfig, stage: str,
+                    make: bool = True) -> Tuple[str, str, str]:
     """(exp_dir, log_dir, model_dir) under output_root/{name}_{stage}.
 
     Mirrors the reference's `../model_output/{experiment}` convention
     (m1 common.py:10-13) without depending on the CWD basename.
+    `make=False` is the pure path lookup — for cross-stage references
+    (e.g. the detector CLI locating the denoiser's calibration file)
+    that must not create empty sibling experiment trees.
     """
     exp_dir = os.path.join(cfg.output_root, f"{cfg.name}_{stage}")
     log_dir = os.path.join(exp_dir, "log")
     model_dir = os.path.join(exp_dir, "model")
-    os.makedirs(log_dir, exist_ok=True)
-    os.makedirs(model_dir, exist_ok=True)
+    if make:
+        os.makedirs(log_dir, exist_ok=True)
+        os.makedirs(model_dir, exist_ok=True)
     return exp_dir, log_dir, model_dir
 
 

@@ -76,7 +76,7 @@ def main() -> None:
         args.dataset_json).split(".json")[0])
     variables = load_detector_variables(cfg, model_dir, args.ckpt, args.pth)
     from sos_tpu.cli.common import default_calibration_path
-    _, _, den_model_dir = experiment_dirs(cfg, "denoiser")
+    _, _, den_model_dir = experiment_dirs(cfg, "denoiser", make=False)
     calib = default_calibration_path(den_model_dir, args.profile,
                                      args.calibration_json)
     predictor = DetectorPredictor(cfg, variables, threshold=args.threshold,

@@ -234,8 +234,8 @@ def load_compare(path_a: str, path_b: str):
     return rows, only
 
 
-def compare_evals(path_a: str, path_b: str) -> None:
-    rows, only = load_compare(path_a, path_b)
+def compare_evals(path_a: str, path_b: str, loaded=None) -> None:
+    rows, only = loaded if loaded is not None else load_compare(path_a, path_b)
     print(f"delta = {os.path.basename(path_b)} - {os.path.basename(path_a)}")
     for snr_key, deltas in rows:
         print(f"{snr_key}: " + " ".join(
@@ -336,11 +336,18 @@ def html_report(out_path, snr_table=None, train_rows=None, compare=None,
         rows, only = compare
         parts.append("<h2>Profile comparison (metric deltas)</h2>")
         if rows:
-            keys = [k for k, _ in rows[0][1]]
+            # Column set = union over rows: SNR entries sharing only a
+            # subset of metrics must not shift their cells under the
+            # first row's header.
+            keys = []
+            for _, deltas in rows:
+                keys.extend(k for k, _ in deltas if k not in keys)
+            by_key = [(snr_key, dict(deltas)) for snr_key, deltas in rows]
             parts.append(_table_html(
                 ["snr"] + [k.replace("avg_", "") for k in keys],
-                [[snr_key] + [f"{d:+.4f}" for _, d in deltas]
-                 for snr_key, deltas in rows]))
+                [[snr_key] + [f"{d[k]:+.4f}" if k in d else "—"
+                              for k in keys]
+                 for snr_key, d in by_key]))
         if only:
             parts.append(f"<p class='meta'>SNRs present in only one file: "
                          f"{e(str(only))}</p>")
@@ -371,8 +378,9 @@ def main() -> None:
         parser.error("need --results_dir, --train_log and/or --compare")
 
     train_rows = load_train_log(args.train_log) if args.train_log else None
+    compare_data = load_compare(*args.compare) if args.compare else None
     if args.compare:
-        compare_evals(*args.compare)
+        compare_evals(*args.compare, loaded=compare_data)
     if train_rows is not None:
         train_report(train_rows, args.train_plot)
 
@@ -402,8 +410,7 @@ def main() -> None:
             sources["compare"] = f"{args.compare[1]} - {args.compare[0]}"
         html_report(args.html, snr_table=table or None,
                     train_rows=train_rows,
-                    compare=load_compare(*args.compare) if args.compare
-                    else None,
+                    compare=compare_data,
                     sources=sources)
 
 

@@ -97,7 +97,9 @@ class StreamingDenoiser:
         # Reconciliation is a no-op when every utterance fits one chunk,
         # so the fused single-dispatch program (detector and denoiser
         # sharing ONE mixed STFT) serves that case — the common short
-        # request in the serve loop keeps its one-dispatch latency.
+        # request in the serve loop keeps its one-dispatch latency, and
+        # _batched pads it only to the next power-of-two bucket (width 1
+        # for a lone request), not to the full batch_chunks width.
         all_single = all(len(starts) == 1 for _, starts, _ in slices)
         if self.consistent_boundaries and not all_single:
             bits = self._batched(self.pipeline.detect_bits, [stacked])
@@ -146,15 +148,24 @@ class StreamingDenoiser:
     # ------------------------------------------------------------------
 
     def _batched(self, fn, arrays):
-        """Run `fn` over fixed-size chunk batches (tail padded: one program)."""
+        """Run `fn` over fixed-size chunk batches.
+
+        A partial batch (the tail, or a short request smaller than
+        ``batch_chunks``) pads only to the next power of two, not to the
+        full width — so the serve loop's common case, ONE 2 s chunk,
+        dispatches a width-1 program instead of paying a mostly-empty
+        ``batch_chunks``-wide batch. Bucketing bounds recompilation to
+        log2(batch_chunks) program shapes, each cached after first use.
+        """
         n = len(arrays[0])
         outs = []
         for b in range(0, n, self.batch_chunks):
             tiles = [a[b:b + self.batch_chunks] for a in arrays]
             real = len(tiles[0])
-            if real < self.batch_chunks:
+            width = min(self.batch_chunks, 1 << (real - 1).bit_length())
+            if real < width:
                 tiles = [np.concatenate(
-                    [t, np.zeros((self.batch_chunks - real,) + t.shape[1:],
+                    [t, np.zeros((width - real,) + t.shape[1:],
                                  dtype=t.dtype)]) for t in tiles]
             out = fn(*[jnp.asarray(t) for t in tiles])
             outs.append(np.asarray(out)[:real])

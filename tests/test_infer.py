@@ -293,3 +293,26 @@ def test_denoise_many_matches_per_utterance(tiny, rng):
             assert got.shape == want.shape
             np.testing.assert_allclose(got, want, atol=1e-5,
                                        err_msg=str(consistent))
+
+
+def test_batched_pads_to_pow2_bucket_not_full_width(tiny, rng):
+    """A short request must not pay a full batch_chunks-wide dispatch:
+    _batched pads partial batches to the next power-of-two bucket only
+    (width 1 for the serve loop's common single-chunk request)."""
+    cfg, det_vars, den_vars = tiny
+    s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=0.5, batch_chunks=16)
+    widths = []
+
+    def probe(m):
+        widths.append(m.shape[0])
+        return m
+
+    for n_chunks, want in ((1, 1), (3, 4), (5, 8), (16, 16), (17, [16, 1])):
+        widths.clear()
+        chunks = rng.standard_normal(
+            (n_chunks, s.chunk)).astype(np.float32) * 0.1
+        out = s._batched(probe, [chunks])
+        assert out.shape == chunks.shape
+        np.testing.assert_allclose(out, chunks, atol=0)
+        assert widths == (want if isinstance(want, list) else [want])

@@ -116,7 +116,7 @@ def test_golden_regression_values():
     NB on LQO mapping: these are RAW P.862 scores in [-0.5, 4.5] — the
     reference's pypesq also returns raw narrowband MOS (no P.862.1 LQO
     mapping), so compatibility argues for raw here too; documented in
-    docs/ARCHITECTURE.md §8.
+    docs/ARCHITECTURE.md §6 (Round-2 additions, native PESQ).
     """
     ref = _speechlike(3.0)
     rng = np.random.default_rng(42)
