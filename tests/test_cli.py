@@ -8,6 +8,7 @@ predict_denoiser -> report, all with a tiny ExperimentConfig JSON.
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 
 import numpy as np
@@ -322,6 +323,22 @@ def test_top_level_dispatcher(capsys):
         main(["report", "--help"])
     assert exc.value.code == 0
     assert "report" in capsys.readouterr().out
+
+
+def test_dispatcher_help_imports_no_cli_modules():
+    """--help must stay instant: command summaries come from ast-parsed
+    docstrings, never from importing the 13 jax/matplotlib-heavy CLI
+    modules (isolated subprocess so other tests' imports can't mask a
+    regression)."""
+    code = (
+        "import sys\n"
+        "from sos_tpu.__main__ import main\n"
+        "assert main(['--help']) == 0\n"
+        "loaded = [m for m in sys.modules if m.startswith('sos_tpu.cli')]\n"
+        "assert not loaded, loaded\n"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True,
+                   cwd=os.path.dirname(os.path.dirname(__file__)))
 
 
 def test_report_html_dashboard(tmp_path, monkeypatch, capsys):
