@@ -2,7 +2,7 @@
 
 Usage:
     python -m sos_tpu.cli.serve --output_root model_output --name exp \
-        [--profile int8] [--chunk_seconds 2.0] [--threshold 0.5]
+        [--profile int8] [--warmup] [--chunk_seconds 2.0] [--threshold 0.5]
 
 Protocol (stdin/stdout, one request per line):
 
@@ -245,6 +245,12 @@ def main() -> None:
     parser.add_argument("--profile", type=str, default=None,
                         choices=("f32", "bf16", "int8"))
     parser.add_argument("--calibration_json", type=str, default=None)
+    parser.add_argument("--warmup", action="store_true",
+                        help="precompile every power-of-two chunk-batch "
+                             "width before READY so no request ever "
+                             "stalls on first-use compilation (one-time "
+                             "startup cost; compiles persist in the XLA "
+                             "compile cache across restarts)")
     args = parser.parse_args()
 
     cfg = config_from_args(args, stage="serve")
@@ -269,6 +275,9 @@ def main() -> None:
         load=lambda p: audio_io.load(p, sr=cfg.data.sample_rate),
         write=audio_io.write_wav,
         sample_rate=cfg.data.sample_rate)
+    if args.warmup:
+        widths = stream.warmup()
+        print(f"WARMED widths={widths}", flush=True)
     print("READY", flush=True)
     loop.run(sys.stdin)
 

@@ -225,6 +225,18 @@ class FusedDenoisePipeline:
             self._detect, self._denoise_bits = self._build_split()
         return self._denoise_bits(self.denoiser_vars, mixed, bits)
 
+    def ensure_calibrated(self) -> bool:
+        """True when the pipeline can run with its final numerics —
+        non-quantized profile, already calibrated, or persisted scales
+        loaded here. Does NOT self-calibrate (the first real batch owns
+        that): warming compiled programs on pre-calibration scales would
+        waste the compiles, since calibration re-folds the int8 weights
+        and retraces."""
+        if self._quant is None or self._quant._calibrated:
+            return True
+        return bool(self._calibration_path and
+                    self.load_calibration_file(self._calibration_path))
+
     def load_calibration_file(self, path: str, strict: bool = False) -> bool:
         """Load persisted int8 scales. Non-strict (serving): a missing,
         truncated or wrong-schema file logs a warning and returns False —

@@ -67,6 +67,42 @@ class StreamingDenoiser:
         """Denoise arbitrary-length audio at the processing sample rate."""
         return self.denoise_many([waveform])[0]
 
+    def warmup(self, max_width: int = None) -> list:
+        """Precompile the dispatch-bucket programs for every power-of-two
+        chunk-batch width up to `max_width` (default: batch_chunks), so a
+        live server never stalls tens of seconds on first-use compilation
+        mid-traffic (measured: a cold 64-request burst spends ~95% of its
+        wall in width-2/4 compiles — experiments/serve_throughput.py).
+
+        Warms the fused one-pass program and, in consistent-boundaries
+        mode, the detect/denoise pair as well. int8 profiles are only
+        warmed when calibration scales are final (persisted file present
+        or already calibrated): calibration re-folds the int8 weights,
+        which would retrace everything warmed before it. Returns the
+        warmed widths ([] when skipped)."""
+        if not self.pipeline.ensure_calibrated():
+            import logging
+            logging.getLogger(__name__).warning(
+                "warmup skipped: int8 profile has no calibration scales "
+                "yet (no persisted file) — the first real request will "
+                "calibrate and compile")
+            return []
+        cap = max_width or self.batch_chunks
+        widths, w = [], 1
+        while w <= cap:
+            widths.append(w)
+            w *= 2
+        rng = np.random.default_rng(0)
+        for w in widths:
+            chunks = (rng.standard_normal((w, self.chunk)) * 0.01).astype(
+                np.float32)
+            if self.consistent_boundaries:
+                bits = self._batched(self.pipeline.detect_bits, [chunks])
+                self._batched(self.pipeline.denoise_with_bits,
+                              [chunks, np.asarray(bits, np.float32)])
+            self._one_pass(chunks)
+        return widths
+
     def denoise_many(self, waveforms) -> list:
         """Denoise several utterances, batching their chunks into SHARED
         device dispatches — short requests no longer waste a mostly-empty

@@ -316,3 +316,22 @@ def test_batched_pads_to_pow2_bucket_not_full_width(tiny, rng):
         assert out.shape == chunks.shape
         np.testing.assert_allclose(out, chunks, atol=0)
         assert widths == (want if isinstance(want, list) else [want])
+
+
+def test_warmup_precompiles_buckets_and_denoise_still_exact(tiny, rng):
+    """warmup() compiles every pow2 bucket width and changes nothing
+    about subsequent results; the int8 profile without calibration
+    scales refuses to warm (calibration would retrace everything)."""
+    cfg, det_vars, den_vars = tiny
+    s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=0.5, batch_chunks=4)
+    wav = rng.standard_normal(45000).astype(np.float32) * 0.2
+    before = s.denoise(wav)
+    assert s.warmup() == [1, 2, 4]
+    np.testing.assert_allclose(s.denoise(wav), before, atol=0)
+
+    s8 = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                           overlap_seconds=0.5, batch_chunks=4,
+                           profile="int8",
+                           calibration_path="/nonexistent/calib.json")
+    assert s8.warmup() == []
