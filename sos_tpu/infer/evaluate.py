@@ -98,6 +98,21 @@ def evaluate_detector(
         assignment = noise_bank.assign_for_prediction(
             index.files, cfg.data.snrs, snr_idx, seed=cfg.data.pred_random_seed)
         if save_noise_info:
+            # the noise-assignment JSON is keyed by wav basename (the
+            # reference's schema, m1 predict.py:79-104) — two dataset
+            # files sharing a basename would silently overwrite each
+            # other's assignment and the bridge would re-mix file A with
+            # file B's noise; fail loudly instead
+            from collections import Counter
+            counts = Counter(os.path.basename(index[f_idx].path)
+                             for f_idx in assignment)
+            dups = sorted(n for n, c in counts.items() if c > 1)
+            if dups:
+                raise ValueError(
+                    "duplicate wav basenames in the dataset (the noise "
+                    f"assignment is keyed by basename): {dups[:5]} — "
+                    "rename the files or evaluate the directories "
+                    "separately")
             noise_dir = os.path.join(output_dir, "noise" + suffix)
             os.makedirs(noise_dir, exist_ok=True)
             noise_files = OrderedDict()
@@ -262,12 +277,16 @@ def create_data_from_prediction(
             [ds_path, item["path"]])
         item["num_frames"] = len(item["bit_stream"])
         item["recovered_prediction"] = item["predicted_bit_stream"]
-        # '2'-padded streams make bit_stream longer than the predicted
-        # (truncated) span; the reference zips them silently
-        # (tools.py show_metrics) — pair up to the common length.
-        pair = min(len(item["bit_stream"]), len(item["recovered_prediction"]))
-        labels += [int(c) for c in item["bit_stream"][:pair]]
-        preds += [int(c) for c in item["recovered_prediction"][:pair]]
+        # Deliberate fix vs the reference (create_data_from_pred.py:
+        # 114-115): it zips the FULL '2'-padded bit_stream against the
+        # truncated-span predictions, so leading padding shifts every
+        # label and the '2's themselves corrupt the binary statistics.
+        # ground_truth_bit_stream is built from the same windows as the
+        # predictions, so the pair is exactly aligned; identical to the
+        # reference pairing whenever the stream has no padding (e.g. the
+        # golden demo fixtures, pinned by tests/test_golden_bridge.py).
+        labels += [int(c) for c in item["ground_truth_bit_stream"]]
+        preds += [int(c) for c in item["recovered_prediction"]]
 
         if not save_results:
             continue
@@ -463,14 +482,9 @@ def evaluate_denoiser(
             ("path", data["path"]),
         ])
         if not unknown_clean_signal:
+            # (the silence-gated clean signal itself is only needed by
+            # _one_metrics above — no need to re-decode it here)
             clean_path = os.path.join(base_dir, data["clean_audio"])
-            clean, _ = audio_io.load(clean_path, sr=sr)
-            gt_mask = bitstream_to_sample_mask_np(
-                np.asarray([0 if c == "0" else 1 for c in data["bit_stream"]],
-                           np.float32),
-                float(sr) / data["framerate"], len(clean),
-                cfg.data.despeckle_min_run)
-            clean = clean * (1 - gt_mask)
             info["clean_audio_path"] = clean_path
             info["mixed_audio_path"] = mixed_path
             info["full_noise_path"] = os.path.join(base_dir, data["full_noise"])

@@ -298,7 +298,11 @@ class FusedDenoisePipeline:
                     return _fail('missing the "detector" scales this '
                                  "two-stage pipeline needs")
                 self._quant_det.load_calibration(state["detector"])
-        except (KeyError, TypeError, ValueError) as exc:
+        # AttributeError: a non-dict where a scale mapping belongs hits
+        # .items() inside load_calibration. Keep in sync with
+        # models/quant.py load_persisted_calibration (same schema).
+        except (AttributeError, IndexError, KeyError, TypeError,
+                ValueError) as exc:
             _restore()
             return _fail(f"wrong scale schema ({type(exc).__name__}: {exc})")
         return True

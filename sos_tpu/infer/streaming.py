@@ -39,7 +39,6 @@ class StreamingDenoiser:
                  threshold: float = 0.5, compute_dtype: str = "float32",
                  consistent_boundaries: bool = True, profile: str = None,
                  calibration_path: str = None):
-        assert overlap_seconds < chunk_seconds
         self.cfg = cfg
         self.pipeline = FusedDenoisePipeline(
             cfg, detector_vars, denoiser_vars, threshold=threshold,
@@ -51,16 +50,30 @@ class StreamingDenoiser:
         # iSTFT yields floor(L/hop)*hop samples per chunk
         self.valid = (self.chunk // hop) * hop
         self.overlap = int(overlap_seconds * sr)
+        # stride must stay positive: the overlap is bounded by the
+        # iSTFT-valid span (< chunk_seconds because iSTFT yields
+        # floor(L/hop)*hop samples), not by chunk_seconds itself
+        assert 0 <= self.overlap < self.valid, (
+            f"overlap_seconds={overlap_seconds} must satisfy "
+            f"0 <= overlap < {self.valid / sr:.4f}s (the iSTFT-valid "
+            f"span of a {chunk_seconds}s chunk)")
         self.stride = self.valid - self.overlap
         self.batch_chunks = batch_chunks
         self.consistent_boundaries = consistent_boundaries
 
     def _weights(self) -> np.ndarray:
         w = np.ones(self.valid, dtype=np.float32)
-        ramp = np.linspace(0.0, 1.0, self.overlap, endpoint=False,
-                           dtype=np.float32)
+        if self.overlap == 0:
+            return w  # no crossfade: chunks abut exactly
+        # Center the ramp on the half-sample grid so every position keeps
+        # a strictly positive weight: a 0-weight at the very first sample
+        # has nothing to normalize against (wsum == 0 there) and would
+        # force output[0] to 0 on every multi-chunk utterance. Aligned
+        # leading/trailing pairs still sum to exactly 1.
+        ramp = ((np.arange(self.overlap) + 0.5) / self.overlap).astype(
+            np.float32)
         w[: self.overlap] = ramp
-        w[-self.overlap:] = ramp[::-1] + (1.0 / self.overlap)
+        w[-self.overlap:] = ramp[::-1]
         return w
 
     def denoise(self, waveform: np.ndarray) -> np.ndarray:
@@ -89,9 +102,12 @@ class StreamingDenoiser:
             return []
         cap = max_width or self.batch_chunks
         widths, w = [], 1
-        while w <= cap:
+        while w < cap:
             widths.append(w)
             w *= 2
+        # full batches dispatch at exactly batch_chunks, which need not
+        # be a power of two — warm that width too
+        widths.append(cap)
         rng = np.random.default_rng(0)
         for w in widths:
             chunks = (rng.standard_normal((w, self.chunk)) * 0.01).astype(
@@ -213,10 +229,20 @@ class StreamingDenoiser:
     def reconcile_bits(self, bits: np.ndarray, starts) -> np.ndarray:
         """Most-interior-decision-wins bit reconciliation across overlaps.
 
-        For chunk i>0, every frame whose (chunk-local) center time falls in
-        the leading HALF of the overlap is replaced by chunk i-1's decision
-        for the same absolute time (nearest frame center) — chunk i-1 saw
-        those samples with full left context, chunk i with none.
+        The sync is TWO-WAY so both sides of every crossfade gate the same
+        decisions over the WHOLE overlap, each half owned by the chunk
+        that saw it with more interior context:
+
+        * leading half of the overlap: chunk i adopts chunk i-1's decision
+          (chunk i-1 saw those samples with full left context, chunk i
+          with none);
+        * trailing half: chunk i-1 adopts chunk i's decision (those
+          samples sit closer to chunk i-1's right edge than to chunk i's
+          left edge, so chunk i is the more interior observer).
+
+        Frame centers are matched to the nearest absolute-time center
+        (chunk strides need not be whole frames), so agreement is exact
+        up to that rounding.
         """
         sr = self.cfg.data.sample_rate
         fps = self.cfg.data.frame_rate
@@ -224,11 +250,19 @@ class StreamingDenoiser:
         num_frames = bits.shape[1]
         centers = (np.arange(num_frames) + 0.5) / fps  # chunk-local seconds
         half_ov = 0.5 * self.overlap / sr
+        ov = self.overlap / sr
         for i in range(1, len(starts)):
             delta = (starts[i] - starts[i - 1]) / sr  # chunk offset, seconds
             lead = centers < half_ov
             prev_idx = np.round((centers + delta) * fps - 0.5).astype(int)
             ok = lead & (prev_idx >= 0) & (prev_idx < num_frames)
             bits[i, np.nonzero(ok)[0]] = bits[i - 1, prev_idx[ok]]
+            # chunk i-1's frames in the trailing half of the overlap
+            # ([delta+half_ov, delta+ov) in i-1-local time) adopt chunk
+            # i's (own, un-replaced: local centers >= half_ov) decision
+            trail = (centers >= delta + half_ov) & (centers < delta + ov)
+            next_idx = np.round((centers - delta) * fps - 0.5).astype(int)
+            ok = trail & (next_idx >= 0) & (next_idx < num_frames)
+            bits[i - 1, np.nonzero(ok)[0]] = bits[i, next_idx[ok]]
         return bits
 

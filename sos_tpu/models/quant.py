@@ -753,7 +753,12 @@ def load_persisted_calibration(quant, path: str, key: str) -> bool:
     try:
         quant.load_calibration(state)
         return True
-    except (KeyError, TypeError, ValueError) as exc:
+    # AttributeError: a non-dict where a scale mapping belongs (e.g.
+    # "inpaint": [...]) hits .items(). Keep this except tuple in sync
+    # with FusedDenoisePipeline.load_calibration_file — both parse the
+    # same persisted schema.
+    except (AttributeError, IndexError, KeyError, TypeError,
+                ValueError) as exc:
         logging.getLogger(__name__).warning(
             "calibration file %s: wrong scale schema (%s) — "
             "self-calibrating instead", path, exc)

@@ -202,3 +202,34 @@ def test_report_compare_evals(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "snr_-10: stoi-0.0100 pesq+0.0200" in out
     assert "only one file" in out and "snr_0" in out and "snr_10" in out
+
+
+def test_detector_eval_rejects_duplicate_basenames(corpus, tmp_path):
+    """The noise-assignment JSON is keyed by wav basename (reference
+    schema): two files sharing a basename must fail loudly instead of
+    silently swapping noise assignments in the bridge."""
+    cfg = _cfg()
+    sr = cfg.data.sample_rate
+    with open(corpus["ds_json"]) as fp:
+        ds = json.load(fp)
+    for sub in ("a", "b"):
+        d = tmp_path / sub
+        d.mkdir()
+        path = str(d / "utt.wav")
+        audio_io.write_wav(
+            path, np.zeros(int(2.0 * sr), np.float32), sr)
+        rec = dict(ds["files"][0])
+        rec.update(path=path, audio_path=path)
+        ds["files"].append(rec)
+    ds["num_videos"] = len(ds["files"])
+    dup_json = str(tmp_path / "dup.json")
+    with open(dup_json, "w") as fp:
+        json.dump(ds, fp)
+
+    model = SilenceDetector(cfg.detector)
+    variables = model.init(jr.PRNGKey(0), jnp.zeros((1, 256, 64, 2)))
+    noise = NoiseBank.from_roots(corpus["noise_dir"], cfg.data.sample_rate)
+    with pytest.raises(ValueError, match="duplicate wav basenames"):
+        evaluate_detector(
+            cfg, DetectorPredictor(cfg, variables, buckets=(256, 512)),
+            dup_json, str(tmp_path / "out"), noise_bank=noise, snr_idx=3)

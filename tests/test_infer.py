@@ -335,3 +335,59 @@ def test_warmup_precompiles_buckets_and_denoise_still_exact(tiny, rng):
                            profile="int8",
                            calibration_path="/nonexistent/calib.json")
     assert s8.warmup() == []
+
+
+def test_reconcile_bits_agrees_across_whole_overlap(tiny, rng):
+    """Two-way reconciliation: after the sync, both chunks covering an
+    overlap carry the SAME decision for every overlapped frame (leading
+    half owned by the earlier chunk, trailing half by the later one)."""
+    cfg, det_vars, den_vars = tiny
+    s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=1.0)
+    n_frames = int(2.0 * cfg.data.frame_rate)
+    bits = rng.integers(0, 2, (3, n_frames)).astype(np.float32)
+    starts = [0, s.stride, 2 * s.stride]
+    rec = s.reconcile_bits(bits, starts)
+
+    sr = cfg.data.sample_rate
+    fps = cfg.data.frame_rate
+    centers = (np.arange(n_frames) + 0.5) / fps
+    for i in range(1, len(starts)):
+        delta = (starts[i] - starts[i - 1]) / sr
+        for k, c in enumerate(centers):  # frame k of chunk i
+            if not (0 <= c < s.overlap / sr):
+                continue  # not in the overlap with chunk i-1
+            prev = int(round((c + delta) * fps - 0.5))
+            if 0 <= prev < n_frames:
+                assert rec[i, k] == rec[i - 1, prev], (i, k, prev)
+
+
+def test_streaming_weights_strictly_positive_and_complementary(tiny):
+    """No output sample may carry zero total crossfade weight (a zero at
+    position 0 forced output[0] to 0); aligned ramp pairs sum to 1."""
+    cfg, det_vars, den_vars = tiny
+    s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=0.5)
+    w = s._weights()
+    assert (w > 0).all()
+    ov = s.overlap
+    np.testing.assert_allclose(w[:ov] + w[-ov:], 1.0, atol=1e-6)
+
+
+def test_streaming_zero_overlap_and_bad_overlap(tiny, rng):
+    cfg, det_vars, den_vars = tiny
+    s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=0.0)
+    wav = rng.standard_normal(60000).astype(np.float32) * 0.2
+    out = s.denoise(wav)
+    assert len(out) == len(wav) and np.isfinite(out).all()
+    with pytest.raises(AssertionError, match="iSTFT-valid"):
+        StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=1.999)
+
+
+def test_warmup_includes_non_pow2_full_width(tiny):
+    cfg, det_vars, den_vars = tiny
+    s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=0.5, batch_chunks=3)
+    assert s.warmup() == [1, 2, 3]

@@ -437,3 +437,39 @@ def test_quantized_detector_valid_t_bucketed_exact(setup):
     got = jax.jit(lambda s, vt: qd(s, 60, valid_t=vt, valid_frames=60))(
         spec_p, jnp.int32(64))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_calibration_file_non_dict_scales_recovers(setup, tmp_path):
+    """A calibration file whose scale mapping is a non-dict (e.g.
+    "inpaint": [...]) must be rejected with the warn-and-self-calibrate
+    fallback, not crash with AttributeError ('.items' on a list)."""
+    import json as _json
+
+    from sos_tpu.config import (DataConfig, DetectorModelConfig,
+                                ExperimentConfig)
+    from sos_tpu.infer.fused import FusedDenoisePipeline
+    from sos_tpu.models import SilenceDetector
+    from sos_tpu.models.quant import (QuantizedDenoiser,
+                                      load_persisted_calibration)
+
+    cfg_d, model, v, x, y = setup
+    det_cfg = DetectorModelConfig(nf=4, outf=2, kernel_sizes=((1, 7), (5, 5)),
+                                  dilations=((1, 1), (2, 2)),
+                                  lstm_hidden=4, fc_hidden=4)
+    cfg = ExperimentConfig(detector=det_cfg, denoiser=cfg_d,
+                           data=DataConfig())
+    det = SilenceDetector(det_cfg)
+    dv = det.init(jr.PRNGKey(9), jnp.zeros((1, 256, 90, 2)))
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps(
+        {"denoiser": {"enc_x": [1.0], "enc_n": [1.0], "inpaint": [1.0]},
+         "detector": {"trunk": [1.0]}}))
+
+    p = FusedDenoisePipeline(cfg, dv, v, profile="int8")
+    assert p.load_calibration_file(str(bad)) is False
+    assert not p._quant._calibrated
+
+    q = QuantizedDenoiser(cfg_d, v, inpaint_dtype="int8")
+    assert load_persisted_calibration(q, str(bad), "denoiser") is False
+    assert not q._calibrated
