@@ -213,6 +213,12 @@ class _BatcherBase:
             raise ValueError(f"host_id {host_id} not in [0, {num_hosts})")
         keep = len(self.windows) // num_hosts
         self.windows = self.windows[host_id::num_hosts][:keep]
+        # Decorrelate the per-host rng streams: without this, every host
+        # replays the SAME positional noise/SNR draws (iter_from seeds by
+        # (seed, epoch) only), so item j of every host's batch gets the
+        # identical noise crop — an N-host pod would cut noise-augmentation
+        # diversity N-fold. Still fully deterministic given (host, epoch).
+        self.seed = self.seed * num_hosts + host_id
         return self
 
     def _order(self) -> np.ndarray:

@@ -48,8 +48,16 @@ class CheckpointManager:
                     "step": state.step,
                 })
                 self._ckptr.save(path, tree, force=True)
-                with open(path + ".clock.json", "w") as fp:
+                # atomic sidecar: a hard kill mid-write must never leave
+                # a truncated clock.json (which would crash every
+                # --continue). A kill BETWEEN the pytree write and this
+                # replace leaves new weights + the previous clock — the
+                # resume then replays a bounded suffix of minibatches
+                # deterministically, which is safe; a torn file is not.
+                tmp = path + ".clock.json.tmp"
+                with open(tmp, "w") as fp:
                     json.dump(clock.to_dict(), fp)
+                os.replace(tmp, path + ".clock.json")
         finally:
             # Barrier: no process may report this step's checkpoint done
             # (and become eligible for preemption/teardown) until

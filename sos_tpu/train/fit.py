@@ -178,7 +178,10 @@ def fit(
     train_tb, val_tb = _writers(log_dir) if is_main else (None, None)
     jsonl = MetricsLog(log_dir)
     timer = StepTimer()
-    best_metric = -np.inf
+    # restored on --continue (clock.best_metric persists in the ckpt
+    # sidecar) so the first post-resume epoch cannot clobber a better
+    # best_acc snapshot from before the preemption
+    best_metric = clock.best_metric
 
     val_batcher.set_epoch(0)
     has_val = len(val_batcher) > 0
@@ -187,6 +190,10 @@ def fit(
     start_epoch, start_minibatch = clock.epoch, clock.minibatch
     stop = GracefulStop().install()
     preempted = False
+    # profiler state as a flag, not step equality: a resume whose
+    # restored step lands inside (start, stop] must neither call
+    # stop_trace without a start nor leave a started trace dangling
+    tracing = False
     try:
       with mesh:
         state = distributed.replicate(state, replicated(mesh))
@@ -212,11 +219,21 @@ def fit(
                 src = iter(train_batcher)
                 if skip:
                     src = itertools.islice(src, skip, None)
-            for batch in prefetch(src, depth=2):
-                if profile_dir and clock.step == profile_steps[0]:
+            # close() the prefetcher on EVERY loop exit (SIGTERM break,
+            # train_step exception): the producer thread holds a ref to
+            # it, so it is never garbage-collected while running — an
+            # unclosed early exit would leave the thread assembling and
+            # spinning on the full queue for the life of the process
+            prefetcher = prefetch(src, depth=2)
+            try:
+              for batch in prefetcher:
+                if (profile_dir and not tracing
+                        and clock.step == profile_steps[0]):
                     jax.profiler.start_trace(profile_dir)
-                if profile_dir and clock.step == profile_steps[1]:
+                    tracing = True
+                if tracing and clock.step >= profile_steps[1]:
                     jax.profiler.stop_trace()
+                    tracing = False
                 timer.start()
                 sharded = shard_batch(batch, mesh)
                 state, metrics = train_step(state, sharded)
@@ -258,6 +275,8 @@ def fit(
                         clock.epoch, clock.minibatch)
                     preempted = True
                     break
+            finally:
+                prefetcher.close()
             if preempted:
                 break
             clock.tock()
@@ -281,6 +300,7 @@ def fit(
                         dict(epoch_metrics, ckpt_epoch=clock.epoch))
             if track_accuracy and epoch_metrics.get("accuracy", -np.inf) > best_metric:
                 best_metric = epoch_metrics["accuracy"]
+                clock.best_metric = best_metric  # persists with every save
                 mgr.save(state, clock, "best_acc")
             if clock.epoch % cfg.train.save_frequency == 0:
                 mgr.save_epoch(state, clock)
@@ -295,6 +315,8 @@ def fit(
     finally:
         # exception-safe teardown (OOM/interrupt): the jsonl handle and
         # the tensorboard writers must not leak buffered events
+        if tracing:
+            jax.profiler.stop_trace()
         stop.uninstall()
         jsonl.close()
         for writer in (train_tb, val_tb):

@@ -31,6 +31,10 @@ class TrainClock:
     epoch: int = 0
     minibatch: int = 0
     step: int = 0
+    # best validation metric seen so far (drives the best_acc checkpoint;
+    # persisted so a --continue resume cannot clobber a better snapshot
+    # with its first post-resume epoch)
+    best_metric: float = float("-inf")
 
     def tick(self) -> None:
         self.minibatch += 1
@@ -40,13 +44,15 @@ class TrainClock:
         self.epoch += 1
         self.minibatch = 0
 
-    def to_dict(self) -> Dict[str, int]:
+    def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
 
     @staticmethod
-    def from_dict(d: Optional[Dict[str, int]]) -> "TrainClock":
+    def from_dict(d: Optional[Dict[str, Any]]) -> "TrainClock":
         if not d:
             return TrainClock()
         return TrainClock(epoch=int(d.get("epoch", 0)),
                           minibatch=int(d.get("minibatch", 0)),
-                          step=int(d.get("step", 0)))
+                          step=int(d.get("step", 0)),
+                          best_metric=float(
+                              d.get("best_metric", float("-inf"))))

@@ -100,3 +100,41 @@ def test_batcher_shard_partitions_windows(tmp_path):
     with pytest.raises(ValueError):
         DenoiserBatcher(windows, bank, DataConfig(), batch_size=1,
                         shuffle=False).shard(3, 3)
+
+
+def test_batcher_shard_decorrelates_noise_streams(tmp_path):
+    """Hosts draw DIFFERENT noise/SNR streams: without per-host seed
+    decorrelation, item j of every host's batch would get the identical
+    noise crop (iter_from seeds by (seed, epoch) only), cutting the pod's
+    noise-augmentation diversity N-fold."""
+    from sos_tpu.data.pipeline import DenoiserBatcher
+    from sos_tpu.data.windows import DenoiserWindow
+    from sos_tpu.dsp import audio_io
+
+    sr = 14000
+    rng = np.random.default_rng(0)
+    wav = str(tmp_path / "c.wav")
+    audio_io.write_wav(wav, rng.standard_normal(sr * 8).astype(np.float32) * 0.2,
+                       sr)
+    windows = [DenoiserWindow(file_index=0, audio_path=wav,
+                              start_sec=float(i), end_sec=float(i + 2),
+                              bits="1" * 60, framerate=30)
+               for i in range(4)]
+    bank = NoiseBank.from_arrays(
+        [rng.standard_normal(sr * 6).astype(np.float32) * 0.1
+         for _ in range(4)], sr)
+
+    def host_batch(h):
+        b = DenoiserBatcher(windows, bank, DataConfig(), batch_size=2,
+                            shuffle=False, seed=0).shard(h, 2)
+        b.set_epoch(0)
+        return next(iter(b))
+
+    b0, b1 = host_batch(0), host_batch(1)
+    # disjoint window shards (different clean audio) AND different rng
+    # streams (different noise crops) — the latter is what this pins
+    assert not np.array_equal(b0["noise"], b1["noise"])
+    # determinism per (host, epoch) is preserved
+    b0_again = host_batch(0)
+    np.testing.assert_array_equal(b0["noise"], b0_again["noise"])
+    np.testing.assert_array_equal(b0["snr"], b0_again["snr"])

@@ -470,3 +470,64 @@ def test_sigterm_preemption_saves_resumable_latest(tmp_path):
     # epoch's minibatches already done): the resume correctly adds 0
     # steps before tocking into the next epoch
     assert final["step"] >= saved["step"]
+
+
+def test_clock_best_metric_roundtrip_atomic_sidecar(tmp_path):
+    """clock.best_metric survives the checkpoint sidecar (including the
+    -inf default), and the sidecar write is atomic (no .tmp leftover)."""
+    import os
+
+    from sos_tpu.train.checkpoints import CheckpointManager
+
+    cfg = tiny_detector_cfg()
+    _, state = init_detector_state(cfg, steps_per_epoch=3)
+    mgr = CheckpointManager(str(tmp_path / "m"))
+
+    mgr.save(state, TrainClock(epoch=2, minibatch=1, step=7,
+                               best_metric=0.875), "latest")
+    _, clock = mgr.load("latest", template=state)
+    assert clock.best_metric == 0.875
+    assert (clock.epoch, clock.minibatch, clock.step) == (2, 1, 7)
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "m"), "latest.clock.json.tmp"))
+
+    # default -inf round-trips too (json writes -Infinity; load accepts it)
+    mgr.save(state, TrainClock(), "fresh")
+    _, c2 = mgr.load("fresh", template=state)
+    assert c2.best_metric == float("-inf")
+    # legacy sidecars without the field load as -inf
+    assert TrainClock.from_dict({"epoch": 1, "minibatch": 0,
+                                 "step": 4}).best_metric == float("-inf")
+
+
+def test_resume_does_not_clobber_best_acc(tmp_path):
+    """A --continue resume whose pre-preemption best_metric beats anything
+    the resumed epochs can reach must NOT overwrite the best_acc snapshot
+    (accuracy <= 1.0 < the saved 2.0)."""
+    import dataclasses
+    import os
+
+    from sos_tpu.train.fit import fit
+
+    cfg = tiny_detector_cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, nr_epochs=1))
+    model, state = init_detector_state(cfg, steps_per_epoch=3)
+    step = make_detector_train_step(cfg, model, steps_per_epoch=3)
+    ev = make_detector_eval_step(cfg, model)
+
+    d = str(tmp_path / "keeps_best")
+    fit(cfg, state, TrainClock(best_metric=2.0), step, ev,
+        _FakeBatcher(cfg, 3), _FakeBatcher(cfg, 2), d, d,
+        num_devices=1, track_accuracy=True)
+    assert not os.path.isdir(os.path.join(d, "best_acc"))
+
+    # and a fresh clock (-inf) does save one, persisting the new best
+    d2 = str(tmp_path / "fresh")
+    fit(cfg, state, TrainClock(), step, ev,
+        _FakeBatcher(cfg, 3), _FakeBatcher(cfg, 2), d2, d2,
+        num_devices=1, track_accuracy=True)
+    assert os.path.isdir(os.path.join(d2, "best_acc"))
+    import json
+    saved = json.load(open(os.path.join(d2, "latest.clock.json")))
+    assert np.isfinite(saved["best_metric"])
