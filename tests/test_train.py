@@ -531,3 +531,35 @@ def test_resume_does_not_clobber_best_acc(tmp_path):
     import json
     saved = json.load(open(os.path.join(d2, "latest.clock.json")))
     assert np.isfinite(saved["best_metric"])
+
+
+def test_fit_closes_prefetcher_on_step_exception(tmp_path):
+    """A train_step that raises mid-epoch must not leak the prefetch
+    producer thread (fit closes the prefetcher on every loop exit)."""
+    import threading
+    import time
+
+    from sos_tpu.train.fit import fit
+
+    cfg = tiny_detector_cfg()
+    model, state = init_detector_state(cfg, steps_per_epoch=4)
+    real_step = make_detector_train_step(cfg, model, steps_per_epoch=4)
+    ev = make_detector_eval_step(cfg, model)
+    calls = {"n": 0}
+
+    def exploding_step(s, b):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("boom")
+        return real_step(s, b)
+
+    before = threading.active_count()
+    d = str(tmp_path / "x")
+    with pytest.raises(RuntimeError, match="boom"):
+        fit(cfg, state, TrainClock(), exploding_step, ev,
+            _FakeBatcher(cfg, 50), _EmptyBatcher(), d, d, num_devices=1)
+    # producer threads drain promptly once closed
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before
