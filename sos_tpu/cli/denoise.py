@@ -6,6 +6,10 @@ Usage:
          --detector_pth ckpt_epoch87.pth --denoiser_pth ckpt_epoch24.pth] \
         [--chunk_seconds 2.0 --overlap_seconds 0.5] [--bf16]
 
+    # batch mode: every wav under a directory, one model load, chunks of
+    # ALL files batched into shared device dispatches (denoise_many)
+    python -m sos_tpu.cli.denoise --input_dir noisy/ --output_dir clean/
+
 The reference requires three separate script invocations glued by JSON
 files to denoise one recording; this runs the fused detect+denoise
 pipeline end-to-end on arbitrary-length audio (chunked streaming with
@@ -27,8 +31,15 @@ from sos_tpu.infer.streaming import StreamingDenoiser
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     add_common_train_args(parser, need_dataset=False)
-    parser.add_argument("--input", type=str, required=True)
-    parser.add_argument("--output", type=str, required=True)
+    parser.add_argument("--input", type=str, default=None)
+    parser.add_argument("--output", type=str, default=None)
+    parser.add_argument("--input_dir", type=str, default=None,
+                        help="denoise every .wav under this directory "
+                             "(non-recursive) instead of --input; chunks "
+                             "of all files share device dispatches")
+    parser.add_argument("--output_dir", type=str, default=None,
+                        help="where batch-mode outputs go (same "
+                             "basenames); required with --input_dir")
     parser.add_argument("--detector_ckpt", type=str, default="latest")
     parser.add_argument("--denoiser_ckpt", type=str, default="latest")
     parser.add_argument("--detector_pth", type=str, default=None)
@@ -50,6 +61,16 @@ def main() -> None:
                              "self-calibration (default: "
                              "<denoiser model dir>/int8_calibration.json)")
     args = parser.parse_args()
+    batch_mode = args.input_dir is not None
+    if batch_mode:
+        if args.output_dir is None:
+            parser.error("--input_dir requires --output_dir")
+        if args.input or args.output:
+            parser.error("--input/--output and --input_dir/--output_dir "
+                         "are mutually exclusive")
+    elif not (args.input and args.output):
+        parser.error("either --input + --output or --input_dir + "
+                     "--output_dir is required")
 
     cfg = config_from_args(args, stage="denoise")
     _, _, det_dir = experiment_dirs(cfg, "detector")
@@ -59,7 +80,6 @@ def main() -> None:
     den_vars = load_denoiser_variables(cfg, den_dir, args.denoiser_ckpt,
                                        args.denoiser_pth)
 
-    wav, _ = audio_io.load(args.input, sr=cfg.data.sample_rate)
     profile = args.profile or ("bf16" if args.bf16 else None)
     from sos_tpu.cli.common import default_calibration_path
 
@@ -70,9 +90,31 @@ def main() -> None:
         overlap_seconds=args.overlap_seconds, threshold=args.threshold,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         profile=profile, calibration_path=calib)
-    out = stream.denoise(wav.astype(np.float32))
-    audio_io.write_wav(args.output, out, cfg.data.sample_rate)
-    print(f"denoised {len(wav) / cfg.data.sample_rate:.1f}s -> {args.output}")
+    sr = cfg.data.sample_rate
+
+    if not batch_mode:
+        wav, _ = audio_io.load(args.input, sr=sr)
+        out = stream.denoise(wav.astype(np.float32))
+        audio_io.write_wav(args.output, out, sr)
+        print(f"denoised {len(wav) / sr:.1f}s -> {args.output}")
+        return
+
+    import os
+
+    names = sorted(n for n in os.listdir(args.input_dir)
+                   if n.lower().endswith(".wav"))
+    if not names:
+        raise SystemExit(f"no .wav files in {args.input_dir}")
+    wavs = [audio_io.load(os.path.join(args.input_dir, n), sr=sr)[0]
+            .astype(np.float32) for n in names]
+    outs = stream.denoise_many(wavs)
+    os.makedirs(args.output_dir, exist_ok=True)
+    for name, wav, out in zip(names, wavs, outs):
+        dst = os.path.join(args.output_dir, name)
+        audio_io.write_wav(dst, out, sr)
+        print(f"denoised {len(wav) / sr:.1f}s -> {dst}")
+    total = sum(len(w) for w in wavs) / sr
+    print(f"batch: {len(names)} files, {total:.1f}s audio")
 
 
 if __name__ == "__main__":

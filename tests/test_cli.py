@@ -381,3 +381,38 @@ def test_report_html_dashboard(tmp_path, monkeypatch, capsys):
     assert "Denoising quality vs input SNR" in html
     assert "best epoch metric" in html and "ckpt_epoch1" in html
     assert "Profile comparison" in html and "-0.0100" in html
+
+
+def test_cli_batch_denoise_dir(cli_env, monkeypatch):
+    """--input_dir/--output_dir denoises every wav in one invocation,
+    matching the single-file tool's output per file."""
+    root = cli_env["root"]
+    out_root = str(root / "model_output")
+    batch_out = str(root / "batch_denoised")
+    from sos_tpu.cli import denoise
+    from sos_tpu.dsp import audio_io
+
+    common = ["--output_root", out_root, "--config_json", cli_env["cfg"],
+              "--name", "tiny", "--chunk_seconds", "2.0",
+              "--overlap_seconds", "0.5"]
+    _run(denoise.main,
+         ["--input_dir", cli_env["audio_dir"], "--output_dir", batch_out]
+         + common, monkeypatch)
+    names = sorted(os.listdir(batch_out))
+    assert names == ["c0.wav", "c1.wav"]
+
+    # per-file parity with the single-file path
+    single = str(root / "single_c1.wav")
+    _run(denoise.main,
+         ["--input", os.path.join(cli_env["audio_dir"], "c1.wav"),
+          "--output", single] + common, monkeypatch)
+    a, _ = audio_io.load(os.path.join(batch_out, "c1.wav"))
+    b, _ = audio_io.load(single)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # arg validation: mixing modes / missing pair fails fast
+    with pytest.raises(SystemExit):
+        _run(denoise.main, ["--input_dir", cli_env["audio_dir"]] + common,
+             monkeypatch)
+    with pytest.raises(SystemExit):
+        _run(denoise.main, common, monkeypatch)
