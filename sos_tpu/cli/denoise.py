@@ -27,6 +27,10 @@ from sos_tpu.cli.predict_detector import load_detector_variables
 from sos_tpu.dsp import audio_io
 from sos_tpu.infer.streaming import StreamingDenoiser
 
+# batch mode holds at most ~this many full chunk batches of audio on the
+# host at once (see the grouping loop in main)
+GROUP_CHUNK_BATCHES = 4
+
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
@@ -105,16 +109,38 @@ def main() -> None:
                    if n.lower().endswith(".wav"))
     if not names:
         raise SystemExit(f"no .wav files in {args.input_dir}")
-    wavs = [audio_io.load(os.path.join(args.input_dir, n), sr=sr)[0]
-            .astype(np.float32) for n in names]
-    outs = stream.denoise_many(wavs)
     os.makedirs(args.output_dir, exist_ok=True)
-    for name, wav, out in zip(names, wavs, outs):
-        dst = os.path.join(args.output_dir, name)
-        audio_io.write_wav(dst, out, sr)
-        print(f"denoised {len(wav) / sr:.1f}s -> {dst}")
-    total = sum(len(w) for w in wavs) / sr
-    print(f"batch: {len(names)} files, {total:.1f}s audio")
+    # Group files so host memory stays bounded on huge directories while
+    # each dispatch batch still fills: a group closes once it holds
+    # ~GROUP_CHUNK_BATCHES full chunk batches. denoise_many is
+    # per-utterance independent, so grouping never changes outputs.
+    budget = GROUP_CHUNK_BATCHES * stream.batch_chunks * stream.stride
+    group, group_names, held = [], [], 0
+    n_files, total = 0, 0.0
+
+    def flush():
+        nonlocal group, group_names, held, n_files, total
+        if not group:
+            return
+        for name, wav, out in zip(group_names, group,
+                                  stream.denoise_many(group)):
+            dst = os.path.join(args.output_dir, name)
+            audio_io.write_wav(dst, out, sr)
+            print(f"denoised {len(wav) / sr:.1f}s -> {dst}")
+            n_files += 1
+            total += len(wav) / sr
+        group, group_names, held = [], [], 0
+
+    for name in names:
+        wav = audio_io.load(os.path.join(args.input_dir, name),
+                            sr=sr)[0].astype(np.float32)
+        group.append(wav)
+        group_names.append(name)
+        held += len(wav)
+        if held >= budget:
+            flush()
+    flush()
+    print(f"batch: {n_files} files, {total:.1f}s audio")
 
 
 if __name__ == "__main__":

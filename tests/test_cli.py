@@ -410,6 +410,18 @@ def test_cli_batch_denoise_dir(cli_env, monkeypatch):
     b, _ = audio_io.load(single)
     np.testing.assert_allclose(a, b, atol=1e-6)
 
+    # group splitting (memory bound) never changes outputs: force a
+    # flush after every file and require identical bits
+    monkeypatch.setattr(denoise, "GROUP_CHUNK_BATCHES", 0)
+    split_out = str(root / "batch_denoised_split")
+    _run(denoise.main,
+         ["--input_dir", cli_env["audio_dir"], "--output_dir", split_out]
+         + common, monkeypatch)
+    for n in names:
+        x, _ = audio_io.load(os.path.join(batch_out, n))
+        y, _ = audio_io.load(os.path.join(split_out, n))
+        np.testing.assert_array_equal(x, y)
+
     # arg validation: mixing modes / missing pair fails fast
     with pytest.raises(SystemExit):
         _run(denoise.main, ["--input_dir", cli_env["audio_dir"]] + common,
