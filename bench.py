@@ -60,7 +60,40 @@ def main() -> None:
     # bench's random weights always trigger it — keep the output clean
     logging.getLogger("sos_tpu.models.quant").setLevel(logging.ERROR)
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+
+    # Backend-liveness watchdog: the remote-TPU tunnel occasionally
+    # wedges so hard that the first device roundtrip never returns
+    # (backend registration still succeeds instantly, so probing
+    # jax.devices() alone is not enough — measured) — without a bound,
+    # the whole bench (and whoever invoked it) hangs forever. A SIGALRM
+    # handler does NOT work here: the main thread never returns to
+    # Python bytecode while stuck in the runtime call, so the handler
+    # is queued forever (measured). A watchdog THREAD + os._exit does
+    # (the stuck call releases the GIL). Only the trivial probe
+    # dispatch is bounded; the real compiles (minutes-long on first
+    # run) are not.
+    import threading
+
+    probe_ok = threading.Event()
+
+    def _watchdog():
+        if probe_ok.wait(timeout=300):
+            return
+        print(json.dumps({
+            "metric": "two_stage_denoise_throughput", "value": 0.0,
+            "unit": "audio_sec_per_sec_per_chip", "vs_baseline": 0.0,
+            "error": "device probe timed out after 300s (TPU tunnel "
+                     "wedged); re-run when the backend recovers",
+        }), flush=True)
+        os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
+
+    # one full host->device->host roundtrip under the watchdog; the
+    # float() fetch is the only reliable completion barrier here
+    float(jax.numpy.ones((8, 8)).sum())
+    probe_ok.set()
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
