@@ -112,9 +112,12 @@ def main() -> None:
     os.makedirs(args.output_dir, exist_ok=True)
     # Group files so host memory stays bounded on huge directories while
     # each dispatch batch still fills: a group closes once it holds
-    # ~GROUP_CHUNK_BATCHES full chunk batches. denoise_many is
+    # ~GROUP_CHUNK_BATCHES full chunk batches. Counted in CHUNKS, not
+    # samples — a file shorter than one chunk still occupies a full
+    # zero-padded chunk in denoise_many, so sample-counting would let a
+    # directory of tiny clips blow the bound. denoise_many is
     # per-utterance independent, so grouping never changes outputs.
-    budget = GROUP_CHUNK_BATCHES * stream.batch_chunks * stream.stride
+    budget = GROUP_CHUNK_BATCHES * stream.batch_chunks
     group, group_names, held = [], [], 0
     n_files, total = 0, 0.0
 
@@ -136,7 +139,9 @@ def main() -> None:
                             sr=sr)[0].astype(np.float32)
         group.append(wav)
         group_names.append(name)
-        held += len(wav)
+        # chunk count mirrors StreamingDenoiser.denoise_many's layout
+        held += (1 if len(wav) <= stream.chunk
+                 else -(-len(wav) // stream.stride))
         if held >= budget:
             flush()
     flush()

@@ -57,6 +57,13 @@ class CheckpointManager:
                 tmp = path + ".clock.json.tmp"
                 with open(tmp, "w") as fp:
                     json.dump(clock.to_dict(), fp)
+                    # os.replace is atomic only against process death;
+                    # without fsync a machine-level teardown can persist
+                    # the rename before the data blocks, leaving a
+                    # zero-length clock.json — the torn state this path
+                    # exists to prevent
+                    fp.flush()
+                    os.fsync(fp.fileno())
                 os.replace(tmp, path + ".clock.json")
         finally:
             # Barrier: no process may report this step's checkpoint done

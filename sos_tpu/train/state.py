@@ -9,6 +9,7 @@ a flax-struct pytree so it flows through jit/shard_map.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Dict, Optional
 
 import jax
@@ -45,7 +46,14 @@ class TrainClock:
         self.minibatch = 0
 
     def to_dict(self) -> Dict[str, Any]:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        # keep the sidecar strict JSON: json.dump writes -inf as the
+        # non-standard `-Infinity` token, which external tooling (jq,
+        # non-Python parsers) rejects — omit the field until a real
+        # best is recorded (from_dict restores the -inf default)
+        if not math.isfinite(d["best_metric"]):
+            del d["best_metric"]
+        return d
 
     @staticmethod
     def from_dict(d: Optional[Dict[str, Any]]) -> "TrainClock":

@@ -491,10 +491,17 @@ def test_clock_best_metric_roundtrip_atomic_sidecar(tmp_path):
     assert not os.path.exists(
         os.path.join(str(tmp_path / "m"), "latest.clock.json.tmp"))
 
-    # default -inf round-trips too (json writes -Infinity; load accepts it)
+    # the -inf default round-trips by omission: the sidecar stays strict
+    # JSON (no `-Infinity` token, which jq/non-Python parsers reject)
     mgr.save(state, TrainClock(), "fresh")
     _, c2 = mgr.load("fresh", template=state)
     assert c2.best_metric == float("-inf")
+    raw = open(os.path.join(str(tmp_path / "m"),
+                            "fresh.clock.json")).read()
+    assert "Infinity" not in raw
+    import json
+    json.loads(raw, parse_constant=lambda s: (_ for _ in ()).throw(
+        ValueError(s)))  # strict parse must succeed
     # legacy sidecars without the field load as -inf
     assert TrainClock.from_dict({"epoch": 1, "minibatch": 0,
                                  "step": 4}).best_metric == float("-inf")
