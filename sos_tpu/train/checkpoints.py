@@ -89,6 +89,19 @@ class CheckpointManager:
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
 
+    def peek_best_metric(self, name: str) -> float:
+        """Read just `best_metric` from a checkpoint's clock sidecar
+        (-inf when the sidecar or field is absent) — lets fit() seed its
+        best-metric tracking from the best_acc snapshot itself, which
+        can be newer than the resumed clock's copy."""
+        clock_path = self._path(name) + ".clock.json"
+        try:
+            with open(clock_path) as fp:
+                return float(json.load(fp).get("best_metric",
+                                               float("-inf")))
+        except (OSError, ValueError):
+            return float("-inf")
+
     def load(self, name: str,
              template: Optional[TrainState] = None) -> Tuple[TrainState, TrainClock]:
         path = self._path(name)

@@ -180,8 +180,13 @@ def fit(
     timer = StepTimer()
     # restored on --continue (clock.best_metric persists in the ckpt
     # sidecar) so the first post-resume epoch cannot clobber a better
-    # best_acc snapshot from before the preemption
+    # best_acc snapshot from before the preemption. The best_acc
+    # sidecar itself is the authority when it's newer than the resumed
+    # clock (a crash can land after a best_acc save but before the next
+    # 'latest' save, leaving the resumed clock's copy stale).
     best_metric = clock.best_metric
+    if track_accuracy:
+        best_metric = max(best_metric, mgr.peek_best_metric("best_acc"))
 
     val_batcher.set_epoch(0)
     has_val = len(val_batcher) > 0

@@ -539,6 +539,21 @@ def test_resume_does_not_clobber_best_acc(tmp_path):
     saved = json.load(open(os.path.join(d2, "latest.clock.json")))
     assert np.isfinite(saved["best_metric"])
 
+    # crash-after-best_acc-save: the resumed clock is STALE (-inf) but
+    # the best_acc sidecar already records 2.0 — fit must seed from the
+    # sidecar and leave the snapshot alone
+    d3 = str(tmp_path / "stale_clock")
+    from sos_tpu.train.checkpoints import CheckpointManager
+
+    mgr3 = CheckpointManager(d3)
+    mgr3.save(state, TrainClock(epoch=9, step=99, best_metric=2.0),
+              "best_acc")
+    fit(cfg, state, TrainClock(), step, ev,
+        _FakeBatcher(cfg, 3), _FakeBatcher(cfg, 2), d3, d3,
+        num_devices=1, track_accuracy=True)
+    kept = json.load(open(os.path.join(d3, "best_acc.clock.json")))
+    assert kept["best_metric"] == 2.0 and kept["step"] == 99
+
 
 def test_fit_closes_prefetcher_on_step_exception(tmp_path):
     """A train_step that raises mid-epoch must not leak the prefetch
