@@ -14,6 +14,9 @@ Protocol (stdin/stdout, one request per line):
                                    second of chip time, lifetime)
     QUIT                           graceful shutdown (drains pending work)
 
+SIGTERM behaves like QUIT (supervisor redeploys don't drop in-flight
+requests).
+
 Responses: "OK <output> <seconds_of_audio> <wall_seconds>" or
 "ERR <message>". The pipeline (and its compiled programs + int8
 calibration) stays warm across requests — the reference's per-request
@@ -96,15 +99,71 @@ class ServeLoop:
         self.audio_s = 0.0
         self.busy_s = 0.0
 
+    def _process_batch(self, batch, q_out) -> None:
+        """Denoise a drained batch and enqueue responses in ARRIVAL
+        order (errors stay at their position relative to the requests
+        drained with them); '__done__' sentinels are skipped."""
+        reqs = [payload for kind, payload, _ in batch if kind == "req"]
+        # outs[i]: denoised wav or ("err", msg) — a failing request
+        # must NOT poison the others drained with it
+        outs: list = []
+        if reqs:
+            t_busy = time.perf_counter()
+            if len(reqs) > 1 and self.denoise_many is not None:
+                try:
+                    outs = list(self.denoise_many(
+                        [wav for _, wav, _ in reqs]))
+                except Exception:
+                    outs = []  # isolate per request below
+            if not outs:
+                for _, wav, _ in reqs:
+                    try:
+                        outs.append(self.denoise(wav))
+                    except Exception as exc:
+                        outs.append(("err", _one_line(exc)))
+            # busy time measured around the compute stage only:
+            # per-request walls overlap under pipelining, this does
+            # not (STATS rtf stays meaningful)
+            self.busy_s += time.perf_counter() - t_busy
+        it = iter(outs)
+        for kind, payload, err in batch:
+            if kind == "err":
+                q_out.put(("err", None, err))
+            elif kind == "req":
+                out = next(it)
+                if isinstance(out, tuple) and out[0] == "err":
+                    q_out.put(("err", None, out[1]))
+                    continue
+                dst, wav, t0 = payload
+                q_out.put(("req", (dst, out,
+                                   len(wav) / self.sample_rate, t0),
+                           None))
+
+    def request_shutdown(self) -> None:
+        """Graceful EXTERNAL shutdown (SIGTERM from a supervisor):
+        equivalent to a QUIT line — stop accepting new requests, finish
+        everything already queued, emit BYE, return from run(). Safe to
+        call from a signal handler: the sentinel is delivered from a
+        helper thread so the handler never blocks on a full queue."""
+        self._shutdown = True
+        q = getattr(self, "_q_dec", None)
+        if q is not None:
+            threading.Thread(target=q.put, args=(_DONE,),
+                             daemon=True).start()
+
     def run(self, lines) -> None:
         q_dec: "queue.Queue" = queue.Queue(maxsize=self.depth)
         q_out: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        self._q_dec = q_dec
+        self._shutdown = False
 
         def reader_decoder():
             try:
                 for raw in lines:
                     if self._emit_failed is not None:
                         break  # client gone: stop accepting work
+                    if self._shutdown:
+                        break  # SIGTERM: stop accepting, drain queued
                     line = raw.strip()
                     if not line:
                         continue
@@ -185,45 +244,25 @@ class ServeLoop:
                         batch.append(q_dec.get_nowait())
                     except queue.Empty:
                         break
-                reqs = [payload for kind, payload, _ in batch
-                        if kind == "req"]
                 done = done or any(k == "__done__" for k, _, _ in batch)
-                # outs[i]: denoised wav or ("err", msg) — a failing
-                # request must NOT poison the others drained with it
-                outs: list = []
-                if reqs:
-                    t_busy = time.perf_counter()
-                    if len(reqs) > 1 and self.denoise_many is not None:
-                        try:
-                            outs = list(self.denoise_many(
-                                [wav for _, wav, _ in reqs]))
-                        except Exception:
-                            outs = []  # isolate per request below
-                    if not outs:
-                        for _, wav, _ in reqs:
-                            try:
-                                outs.append(self.denoise(wav))
-                            except Exception as exc:
-                                outs.append(("err", _one_line(exc)))
-                    # busy time measured around the compute stage only:
-                    # per-request walls overlap under pipelining, this
-                    # does not (STATS rtf stays meaningful)
-                    self.busy_s += time.perf_counter() - t_busy
-                # responses leave in ARRIVAL order: errors stay at their
-                # position relative to the requests drained with them
-                it = iter(outs)
-                for kind, payload, err in batch:
-                    if kind == "err":
-                        q_out.put(("err", None, err))
-                    elif kind == "req":
-                        out = next(it)
-                        if isinstance(out, tuple) and out[0] == "err":
-                            q_out.put(("err", None, out[1]))
-                            continue
-                        dst, wav, t0 = payload
-                        q_out.put(("req", (dst, out,
-                                           len(wav) / self.sample_rate,
-                                           t0), None))
+                self._process_batch(batch, q_out)
+            # final drain, SIGTERM path only: request_shutdown's _DONE is
+            # injected out-of-band and can overtake a request the reader
+            # is decoding right now — that request must still get a
+            # response before BYE. (On the QUIT path the reader enqueues
+            # its own sentinel strictly after its last request, so there
+            # is nothing to wait for.)
+            while self._shutdown:
+                try:
+                    leftover = [q_dec.get(timeout=0.5)]
+                except queue.Empty:
+                    break
+                while len(leftover) < self.depth:
+                    try:
+                        leftover.append(q_dec.get_nowait())
+                    except queue.Empty:
+                        break
+                self._process_batch(leftover, q_out)
         finally:
             q_out.put(_DONE)
             wt.join()
@@ -275,6 +314,13 @@ def main() -> None:
         load=lambda p: audio_io.load(p, sr=cfg.data.sample_rate),
         write=audio_io.write_wav,
         sample_rate=cfg.data.sample_rate)
+    # SIGTERM (supervisor redeploy/preemption) == a QUIT line: finish
+    # queued work, respond to everything received, emit BYE, exit 0 —
+    # matching the training loop's graceful-preemption behavior.
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda *_: loop.request_shutdown())
+
     if args.warmup:
         widths = stream.warmup()
         print(f"WARMED widths={widths}", flush=True)

@@ -428,3 +428,45 @@ def test_cli_batch_denoise_dir(cli_env, monkeypatch):
              monkeypatch)
     with pytest.raises(SystemExit):
         _run(denoise.main, common, monkeypatch)
+
+
+def test_serve_loop_sigterm_style_shutdown():
+    """request_shutdown (the SIGTERM path) == QUIT: already-queued
+    requests still get responses, BYE is emitted, run() returns — even
+    while the reader is blocked on a quiet input stream."""
+    import queue as _q
+    import threading
+    import time
+
+    from sos_tpu.cli.serve import ServeLoop
+
+    emitted = []
+    lines_q: "_q.Queue" = _q.Queue()
+
+    def lines():
+        while True:
+            item = lines_q.get()
+            if item is None:
+                return
+            yield item
+
+    def load(path):
+        return np.zeros(1400, np.float32), 14000
+
+    def denoise(wav):
+        time.sleep(0.05)  # shutdown arrives while this request computes
+        return wav
+
+    loop = ServeLoop(denoise, load, lambda *a: None, 14000,
+                     emit=emitted.append)
+    t = threading.Thread(target=loop.run, args=(lines(),), daemon=True)
+    t.start()
+    lines_q.put("a.wav\tout_a.wav")
+    lines_q.put("b.wav\tout_b.wav")
+    time.sleep(0.02)  # let the reader enqueue both
+    loop.request_shutdown()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    oks = [ln.split()[1] for ln in emitted if ln.startswith("OK ")]
+    assert oks == ["out_a.wav", "out_b.wav"]
+    assert emitted[-1] == "BYE"
