@@ -98,6 +98,10 @@ class ServeLoop:
         self.n_err = 0
         self.audio_s = 0.0
         self.busy_s = 0.0
+        # set here, NOT in run(): a SIGTERM during --warmup (handler is
+        # installed before the warmup compiles) must not be lost when
+        # run() starts afterwards
+        self._shutdown = False
 
     def _process_batch(self, batch, q_out) -> None:
         """Denoise a drained batch and enqueue responses in ARRIVAL
@@ -155,7 +159,10 @@ class ServeLoop:
         q_dec: "queue.Queue" = queue.Queue(maxsize=self.depth)
         q_out: "queue.Queue" = queue.Queue(maxsize=self.depth)
         self._q_dec = q_dec
-        self._shutdown = False
+        if self._shutdown:
+            # SIGTERM already arrived (e.g. during --warmup): serve
+            # nothing, still drain politely and emit BYE
+            q_dec.put(_DONE)
 
         def reader_decoder():
             try:

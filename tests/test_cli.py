@@ -470,3 +470,28 @@ def test_serve_loop_sigterm_style_shutdown():
     oks = [ln.split()[1] for ln in emitted if ln.startswith("OK ")]
     assert oks == ["out_a.wav", "out_b.wav"]
     assert emitted[-1] == "BYE"
+
+
+def test_serve_shutdown_before_run_exits_immediately():
+    """SIGTERM during --warmup (before run()) isn't lost: run() emits
+    BYE and returns without serving."""
+    from sos_tpu.cli.serve import ServeLoop
+
+    emitted = []
+    loop = ServeLoop(lambda w: w, lambda p: (np.zeros(4, np.float32), 14000),
+                     lambda *a: None, 14000, emit=emitted.append)
+    loop.request_shutdown()  # before run(): only the flag exists
+
+    def never_yields():
+        import time
+        while True:
+            time.sleep(0.05)
+            yield  # pragma: no cover
+
+    import threading
+    t = threading.Thread(target=loop.run, args=(never_yields(),),
+                         daemon=True)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert emitted == ["BYE"]
