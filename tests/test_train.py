@@ -585,3 +585,38 @@ def test_fit_closes_prefetcher_on_step_exception(tmp_path):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.1)
     assert threading.active_count() <= before
+
+
+def test_joint_multistep_loss_decreases_sharded():
+    """Multi-step SPMD joint training (BASELINE config[3]) under the
+    virtual mesh: both stages' optimizers and BN stats update across
+    steps and both losses decrease — the joint analogue of
+    test_denoiser_multistep_loss_decreases_sharded."""
+    import dataclasses
+
+    from sos_tpu.train.joint import init_joint_states, make_joint_train_step
+
+    cfg = dataclasses.replace(tiny_detector_cfg(),
+                              denoiser=tiny_denoiser_cfg().denoiser,
+                              data=DataConfig(clip_seconds=1))
+    n = min(4, len(jax.devices()))
+    mesh = make_mesh(num_devices=n)
+    (det_model, det_state), (den_model, den_state) = init_joint_states(
+        cfg, steps_per_epoch=5)
+    step = make_joint_train_step(cfg, det_model, den_model,
+                                 steps_per_epoch=5)
+    det_losses, den_losses = [], []
+    fixed = _denoiser_batch(cfg, n, seed=0)  # overfit one batch
+    with mesh:
+        rep = jax.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        det_state = jax.device_put(det_state, rep)
+        den_state = jax.device_put(den_state, rep)
+        sharded = shard_batch(fixed, mesh)
+        for _ in range(4):
+            det_state, den_state, metrics = step(det_state, den_state,
+                                                 sharded)
+            det_losses.append(float(metrics["detector_loss"]))
+            den_losses.append(float(metrics["denoiser_loss"]))
+    assert all(np.isfinite(l) for l in det_losses + den_losses)
+    assert det_losses[-1] < det_losses[0], det_losses
+    assert den_losses[-1] < den_losses[0], den_losses
