@@ -63,6 +63,7 @@ def process_audio_file(
     canonical_sr: int = CANONICAL_SR,
     label_silence: bool = False,
     label_threshold: float = 0.08,
+    label_pad_seconds: float = 0.0,
 ) -> FileRecord:
     """One WAV -> FileRecord (preprocessor_audioonly.py:58-85 field recipe)."""
     y, native_sr = audio_io.load(path, sr=None, mono=True)
@@ -74,7 +75,8 @@ def process_audio_file(
     num_frames = int(math.ceil(duration * framerate))
     if label_silence:
         bit_stream = label_bitstream(y_canon, canonical_sr, framerate,
-                                     label_threshold)
+                                     label_threshold,
+                                     pad_seconds=label_pad_seconds)
         bit_stream = bit_stream.ljust(num_frames, "1")[:num_frames]
     else:
         bit_stream = "1" * num_frames
@@ -95,6 +97,8 @@ def build_dataset_json(
     output_json: str,
     file_list: Optional[Sequence[str]] = None,
     label_silence: bool = False,
+    label_threshold: float = 0.08,
+    label_pad_seconds: float = 0.0,
 ) -> DatasetIndex:
     """Directory of WAVs -> dataset JSON (preprocessor `build_json_better`)."""
     if file_list is None:
@@ -103,7 +107,10 @@ def build_dataset_json(
             for root, _, files in os.walk(audio_dir)
             for f in files if f.lower().endswith(".wav"))
     records: List[FileRecord] = [
-        process_audio_file(p, label_silence=label_silence) for p in file_list]
+        process_audio_file(p, label_silence=label_silence,
+                           label_threshold=label_threshold,
+                           label_pad_seconds=label_pad_seconds)
+        for p in file_list]
     index = DatasetIndex(dataset_path=os.path.abspath(audio_dir),
                          files=records)
     os.makedirs(os.path.dirname(os.path.abspath(output_json)), exist_ok=True)

@@ -215,3 +215,41 @@ def test_fit_profiler_hook(tmp_path):
         train_b, val_b, str(tmp_path / "model"), str(tmp_path / "log"),
         profile_dir=str(tmp_path / "trace"), profile_steps=(1, 2))
     assert os.path.isdir(str(tmp_path / "trace"))
+
+
+def test_preprocess_label_flags(tmp_path):
+    """--label_threshold/--label_pad_seconds reach the labeler: padding
+    frames become '2' at both edges; a higher threshold marks more
+    silence."""
+    import sys
+
+    from sos_tpu.cli import preprocess as pp
+    from sos_tpu.data.index import DatasetIndex
+    from sos_tpu.dsp import audio_io
+
+    sr = 44100
+    rng = np.random.default_rng(3)
+    d = tmp_path / "clips"
+    d.mkdir()
+    y = np.zeros(4 * sr, np.float32)
+    y[: sr] = rng.standard_normal(sr) * 0.5          # loud second
+    y[2 * sr: 3 * sr] = rng.standard_normal(sr) * 0.02  # quiet second
+    audio_io.write_wav(str(d / "c.wav"), y, sr)
+
+    def run(extra, out):
+        old = sys.argv
+        sys.argv = ["prog", "--audio_dir", str(d), "--output_json", out,
+                    "--label_silence"] + extra
+        try:
+            pp.main()
+        finally:
+            sys.argv = old
+        return DatasetIndex.load(out).files[0].bit_stream
+
+    bits_pad = run(["--label_pad_seconds", "1.0"],
+                   str(tmp_path / "a.json"))
+    assert bits_pad[:30] == "2" * 30 and bits_pad[-30:] == "2" * 30
+
+    lo = run(["--label_threshold", "0.01"], str(tmp_path / "b.json"))
+    hi = run(["--label_threshold", "0.3"], str(tmp_path / "c.json"))
+    assert hi.count("0") > lo.count("0")
