@@ -391,3 +391,28 @@ def test_warmup_includes_non_pow2_full_width(tiny):
     s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
                           overlap_seconds=0.5, batch_chunks=3)
     assert s.warmup() == [1, 2, 3]
+
+
+def test_streaming_length_contract_geometry_sweep(tiny, rng):
+    """Output-length contract across lengths straddling every boundary:
+    a single-chunk utterance yields min(n, valid) samples (the iSTFT's
+    valid span, < chunk by up to hop-1); a multi-chunk utterance yields
+    exactly n. Everything finite; both modes agree on length."""
+    cfg, det_vars, den_vars = tiny
+    for consistent in (True, False):
+        stream = StreamingDenoiser(cfg, det_vars, den_vars,
+                                   chunk_seconds=2.0, overlap_seconds=0.5,
+                                   batch_chunks=4,
+                                   consistent_boundaries=consistent)
+        chunk, valid = stream.chunk, stream.valid
+        assert valid < chunk  # the boundary this sweep straddles
+        lengths = [1, 157, 158, valid - 1, valid, valid + 1, chunk,
+                   chunk + 1, chunk + stream.stride,
+                   3 * stream.stride + 17]
+        wavs = [rng.standard_normal(n).astype(np.float32) * 0.2
+                for n in lengths]
+        outs = stream.denoise_many(wavs)
+        for n, out in zip(lengths, outs):
+            expected = min(n, valid) if n <= chunk else n
+            assert len(out) == expected, (consistent, n, len(out))
+            assert np.isfinite(out).all(), (consistent, n)
