@@ -416,3 +416,33 @@ def test_streaming_length_contract_geometry_sweep(tiny, rng):
             expected = min(n, valid) if n <= chunk else n
             assert len(out) == expected, (consistent, n, len(out))
             assert np.isfinite(out).all(), (consistent, n)
+
+
+def test_streaming_int8_profile_end_to_end(tiny, rng, tmp_path):
+    """StreamingDenoiser under the int8 serving profile: self-calibrates,
+    persists the scale file, stays close to the f32 stream on identical
+    input, and a second instance LOADING the persisted scales matches the
+    calibrating instance exactly."""
+    cfg, det_vars, den_vars = tiny
+    calib = str(tmp_path / "calib.json")
+    wav = rng.standard_normal(14000 * 5).astype(np.float32) * 0.2
+
+    f32 = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                            overlap_seconds=0.5, batch_chunks=4)
+    q = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=0.5, batch_chunks=4,
+                          profile="int8", calibration_path=calib)
+    out_f32 = f32.denoise(wav)
+    out_q = q.denoise(wav)
+    import os
+
+    assert os.path.exists(calib)  # self-calibration persisted
+    assert len(out_q) == len(out_f32) and np.isfinite(out_q).all()
+    # int8 drift stays small relative to the signal scale
+    denom = np.abs(out_f32).mean() + 1e-9
+    assert np.abs(out_q - out_f32).mean() / denom < 0.35
+
+    q2 = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                           overlap_seconds=0.5, batch_chunks=4,
+                           profile="int8", calibration_path=calib)
+    np.testing.assert_allclose(q2.denoise(wav), out_q, atol=1e-6)
