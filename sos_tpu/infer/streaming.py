@@ -8,6 +8,16 @@ overlap-adds the results with triangular crossfades. Chunking also bounds
 the BiLSTM's sequential depth, keeping the scan short and the MXU busy
 across the chunk batch dimension.
 
+Length contract (pinned by
+tests/test_infer.py::test_streaming_length_contract_geometry_sweep): a
+multi-chunk utterance returns exactly its input length; an utterance
+that fits ONE chunk returns min(n, valid) samples, where valid =
+floor(chunk/hop)*hop is the iSTFT's valid span — i.e. an input in
+(valid, chunk] loses its final < hop samples (2.4 ms at the nominal
+2 s / 14 kHz geometry). The whole-utterance predictors
+(infer/denoise.py) are not subject to this; it is the price of the
+fixed-size chunk program.
+
 Boundary consistency (deviation from the whole-utterance reference,
 handled explicitly): with naive per-chunk detection, a silent interval
 straddling a chunk boundary can be classified differently by the two
