@@ -620,3 +620,22 @@ def test_joint_multistep_loss_decreases_sharded():
     assert all(np.isfinite(l) for l in det_losses + den_losses)
     assert det_losses[-1] < det_losses[0], det_losses
     assert den_losses[-1] < den_losses[0], den_losses
+
+
+def test_peek_best_metric_handles_missing_and_corrupt(tmp_path):
+    """peek_best_metric: -inf for absent checkpoints, absent fields, and
+    corrupt sidecars (a torn file must not break fit() startup)."""
+    from sos_tpu.train.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "m"))
+    assert mgr.peek_best_metric("best_acc") == float("-inf")
+
+    side = str(tmp_path / "m" / "best_acc.clock.json")
+    open(side, "w").write('{"epoch": 1, "step": 5}')  # no field
+    assert mgr.peek_best_metric("best_acc") == float("-inf")
+
+    open(side, "w").write('{"epoch": 1, "st')  # torn
+    assert mgr.peek_best_metric("best_acc") == float("-inf")
+
+    open(side, "w").write('{"best_metric": 0.75}')
+    assert mgr.peek_best_metric("best_acc") == 0.75
