@@ -75,15 +75,20 @@ def main() -> None:
     import threading
 
     probe_ok = threading.Event()
+    # 900 s default: long enough that a tunnel recovering mid-run still
+    # yields a real measurement (observed wedges clear in 10-20 min),
+    # short enough to fail the run instead of hanging it forever.
+    probe_budget = float(os.environ.get("SOS_BENCH_PROBE_TIMEOUT", "900"))
 
     def _watchdog():
-        if probe_ok.wait(timeout=300):
+        if probe_ok.wait(timeout=probe_budget):
             return
         print(json.dumps({
             "metric": "two_stage_denoise_throughput", "value": 0.0,
             "unit": "audio_sec_per_sec_per_chip", "vs_baseline": 0.0,
-            "error": "device probe timed out after 300s (TPU tunnel "
-                     "wedged); re-run when the backend recovers",
+            "error": f"device probe timed out after {probe_budget:.0f}s "
+                     "(TPU tunnel wedged); re-run when the backend "
+                     "recovers",
         }), flush=True)
         os._exit(2)
 
