@@ -77,8 +77,15 @@ def main() -> None:
     probe_ok = threading.Event()
     # 900 s default: long enough that a tunnel recovering mid-run still
     # yields a real measurement (observed wedges clear in 10-20 min),
-    # short enough to fail the run instead of hanging it forever.
-    probe_budget = float(os.environ.get("SOS_BENCH_PROBE_TIMEOUT", "900"))
+    # short enough to fail the run instead of hanging it forever. A
+    # malformed or non-positive override must not break the one-JSON-
+    # line contract (or fail a healthy run instantly) — fall back.
+    try:
+        probe_budget = float(os.environ.get("SOS_BENCH_PROBE_TIMEOUT", "900"))
+    except ValueError:
+        probe_budget = 900.0
+    if not probe_budget > 0:
+        probe_budget = 900.0
 
     def _watchdog():
         if probe_ok.wait(timeout=probe_budget):

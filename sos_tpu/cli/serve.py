@@ -102,6 +102,21 @@ class ServeLoop:
         # installed before the warmup compiles) must not be lost when
         # run() starts afterwards
         self._shutdown = False
+        # True while the reader holds a request line it has not yet
+        # enqueued (decode in progress) — the SIGTERM drain waits on it
+        self._reader_busy = False
+
+    def _fill_batch(self, q_dec, first):
+        """One compute batch: `first` plus whatever else is already
+        queued, up to `depth` — concurrent requests' chunks then share
+        device dispatches via denoise_many."""
+        batch = [first]
+        while len(batch) < self.depth:
+            try:
+                batch.append(q_dec.get_nowait())
+            except queue.Empty:
+                break
+        return batch
 
     def _process_batch(self, batch, q_out) -> None:
         """Denoise a drained batch and enqueue responses in ARRIVAL
@@ -167,41 +182,51 @@ class ServeLoop:
         def reader_decoder():
             try:
                 for raw in lines:
-                    if self._emit_failed is not None:
-                        break  # client gone: stop accepting work
-                    if self._shutdown:
-                        break  # SIGTERM: stop accepting, drain queued
-                    line = raw.strip()
-                    if not line:
-                        continue
-                    if line == "QUIT":
-                        break
-                    if line == "PING":
-                        self.emit("PONG")
-                        continue
-                    if line == "STATS":
-                        # busy_s = non-overlapping compute-stage wall, so
-                        # rtf = served audio per second of chip time
-                        rtf = self.audio_s / self.busy_s \
-                            if self.busy_s > 0 else 0.0
-                        self.emit(f"STATS ok={self.n_ok} err={self.n_err} "
-                                  f"audio_s={self.audio_s:.2f} "
-                                  f"busy_s={self.busy_s:.2f} rtf={rtf:.1f}")
-                        continue
+                    # busy until this line's request (if any) is safely
+                    # in q_dec — the SIGTERM drain keys off it, so a
+                    # request whose decode is in flight when the signal
+                    # lands still gets its response
+                    self._reader_busy = True
                     try:
-                        src, dst = line.split("\t")
-                    except ValueError:
-                        q_dec.put(("err", None,
-                                   f"bad request line: {line[:100]!r}"))
-                        continue
-                    t0 = time.perf_counter()
-                    try:
-                        wav, _ = self.load(src)
-                    except Exception as exc:
-                        q_dec.put(("err", None, _one_line(exc)))
-                        continue
-                    q_dec.put(("req", (dst, np.asarray(wav, np.float32), t0),
-                               None))
+                        if self._emit_failed is not None:
+                            break  # client gone: stop accepting work
+                        if self._shutdown:
+                            break  # SIGTERM: stop accepting, drain queued
+                        line = raw.strip()
+                        if not line:
+                            continue
+                        if line == "QUIT":
+                            break
+                        if line == "PING":
+                            self.emit("PONG")
+                            continue
+                        if line == "STATS":
+                            # busy_s = non-overlapping compute-stage wall,
+                            # so rtf = served audio per sec of chip time
+                            rtf = self.audio_s / self.busy_s \
+                                if self.busy_s > 0 else 0.0
+                            self.emit(
+                                f"STATS ok={self.n_ok} err={self.n_err} "
+                                f"audio_s={self.audio_s:.2f} "
+                                f"busy_s={self.busy_s:.2f} rtf={rtf:.1f}")
+                            continue
+                        try:
+                            src, dst = line.split("\t")
+                        except ValueError:
+                            q_dec.put(("err", None,
+                                       f"bad request line: {line[:100]!r}"))
+                            continue
+                        t0 = time.perf_counter()
+                        try:
+                            wav, _ = self.load(src)
+                        except Exception as exc:
+                            q_dec.put(("err", None, _one_line(exc)))
+                            continue
+                        q_dec.put(("req",
+                                   (dst, np.asarray(wav, np.float32), t0),
+                                   None))
+                    finally:
+                        self._reader_busy = False
             finally:
                 q_dec.put(_DONE)
 
@@ -241,35 +266,31 @@ class ServeLoop:
         done = False
         try:
             while not done:
-                batch = [q_dec.get()]
                 # Greedily drain whatever else is already queued: with a
                 # denoiser exposing denoise_many, concurrent requests'
                 # chunks share device dispatches instead of each paying
                 # a mostly-empty chunk batch.
-                while len(batch) < self.depth:
-                    try:
-                        batch.append(q_dec.get_nowait())
-                    except queue.Empty:
-                        break
-                done = done or any(k == "__done__" for k, _, _ in batch)
+                batch = self._fill_batch(q_dec, q_dec.get())
+                done = any(k == "__done__" for k, _, _ in batch)
                 self._process_batch(batch, q_out)
             # final drain, SIGTERM path only: request_shutdown's _DONE is
             # injected out-of-band and can overtake a request the reader
             # is decoding right now — that request must still get a
-            # response before BYE. (On the QUIT path the reader enqueues
-            # its own sentinel strictly after its last request, so there
-            # is nothing to wait for.)
+            # response before BYE, HOWEVER long its decode takes: while
+            # the reader is alive and mid-line (_reader_busy) the drain
+            # keeps waiting; once the reader is idle (blocked on the
+            # input stream) and the queue is empty, nothing is in flight.
+            # (On the QUIT path the reader enqueues its own sentinel
+            # strictly after its last request, so there is nothing to
+            # wait for.)
             while self._shutdown:
                 try:
-                    leftover = [q_dec.get(timeout=0.5)]
+                    first = q_dec.get(timeout=0.2)
                 except queue.Empty:
+                    if rt.is_alive() and self._reader_busy:
+                        continue  # decode in flight: wait for its enqueue
                     break
-                while len(leftover) < self.depth:
-                    try:
-                        leftover.append(q_dec.get_nowait())
-                    except queue.Empty:
-                        break
-                self._process_batch(leftover, q_out)
+                self._process_batch(self._fill_batch(q_dec, first), q_out)
         finally:
             q_out.put(_DONE)
             wt.join()

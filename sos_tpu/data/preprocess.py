@@ -77,7 +77,12 @@ def process_audio_file(
         bit_stream = label_bitstream(y_canon, canonical_sr, framerate,
                                      label_threshold,
                                      pad_seconds=label_pad_seconds)
-        bit_stream = bit_stream.ljust(num_frames, "1")[:num_frames]
+        # the trailing partial frame (duration ceil vs the labeler's
+        # floor) has no energy label; when an ignore margin is in force
+        # it lies inside that margin and must stay '2', not become a
+        # spurious sound-positive
+        tail = "2" if int(label_pad_seconds * framerate) > 0 else "1"
+        bit_stream = bit_stream.ljust(num_frames, tail)[:num_frames]
     else:
         bit_stream = "1" * num_frames
     return FileRecord(

@@ -99,7 +99,10 @@ class CheckpointManager:
             with open(clock_path) as fp:
                 return float(json.load(fp).get("best_metric",
                                                float("-inf")))
-        except (OSError, ValueError):
+        # AttributeError: valid JSON that isn't an object ('null', '[1]');
+        # TypeError: {"best_metric": null} — tolerate every torn/foreign
+        # sidecar shape, same policy as the clock-sidecar loader
+        except (OSError, ValueError, TypeError, AttributeError):
             return float("-inf")
 
     def load(self, name: str,

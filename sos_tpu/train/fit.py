@@ -180,13 +180,28 @@ def fit(
     timer = StepTimer()
     # restored on --continue (clock.best_metric persists in the ckpt
     # sidecar) so the first post-resume epoch cannot clobber a better
-    # best_acc snapshot from before the preemption. The best_acc
+    # best_acc snapshot from before the preemption. On a RESUME (the
+    # clock has ticked — it came from a loaded checkpoint) the best_acc
     # sidecar itself is the authority when it's newer than the resumed
     # clock (a crash can land after a best_acc save but before the next
-    # 'latest' save, leaving the resumed clock's copy stale).
+    # 'latest' save, leaving the resumed clock's copy stale). A fresh
+    # run (zero clock) into a reused model_dir deliberately does NOT
+    # peek: it must be free to overwrite a previous run's best_acc with
+    # its own first best, like the reference's per-run in-memory best
+    # (m1 train.py:57,84-88).
     best_metric = clock.best_metric
-    if track_accuracy:
-        best_metric = max(best_metric, mgr.peek_best_metric("best_acc"))
+    if track_accuracy and (clock.step > 0 or clock.epoch > 0):
+        # the peek is a per-host filesystem read feeding the condition
+        # that guards the barriered best_acc save — every host must see
+        # one value or the pod deadlocks in sync_global_devices, so
+        # process 0 reads and broadcasts
+        peek = (mgr.peek_best_metric("best_acc") if is_main
+                else float("-inf"))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            peek = float(multihost_utils.broadcast_one_to_all(
+                np.float32(peek)))
+        best_metric = max(best_metric, peek)
 
     val_batcher.set_epoch(0)
     has_val = len(val_batcher) > 0

@@ -431,9 +431,11 @@ def test_cli_batch_denoise_dir(cli_env, monkeypatch):
 
 
 def test_serve_loop_sigterm_style_shutdown():
-    """request_shutdown (the SIGTERM path) == QUIT: already-queued
+    """request_shutdown (the SIGTERM path) == QUIT: already-received
     requests still get responses, BYE is emitted, run() returns — even
-    while the reader is blocked on a quiet input stream."""
+    when the signal lands while a request's DECODE is in flight and the
+    decode outlasts any fixed drain timeout (the drain must wait on the
+    busy reader, not a clock)."""
     import queue as _q
     import threading
     import time
@@ -450,20 +452,21 @@ def test_serve_loop_sigterm_style_shutdown():
                 return
             yield item
 
+    in_load_b = threading.Event()
+
     def load(path):
+        if path == "b.wav":
+            in_load_b.set()  # SIGTERM is requested now, mid-decode
+            time.sleep(0.7)  # slower than the drain's 0.2 s poll window
         return np.zeros(1400, np.float32), 14000
 
-    def denoise(wav):
-        time.sleep(0.05)  # shutdown arrives while this request computes
-        return wav
-
-    loop = ServeLoop(denoise, load, lambda *a: None, 14000,
+    loop = ServeLoop(lambda wav: wav, load, lambda *a: None, 14000,
                      emit=emitted.append)
     t = threading.Thread(target=loop.run, args=(lines(),), daemon=True)
     t.start()
     lines_q.put("a.wav\tout_a.wav")
     lines_q.put("b.wav\tout_b.wav")
-    time.sleep(0.02)  # let the reader enqueue both
+    assert in_load_b.wait(timeout=10)  # deterministic: b is mid-decode
     loop.request_shutdown()
     t.join(timeout=10)
     assert not t.is_alive()

@@ -253,3 +253,27 @@ def test_preprocess_label_flags(tmp_path):
     lo = run(["--label_threshold", "0.01"], str(tmp_path / "b.json"))
     hi = run(["--label_threshold", "0.3"], str(tmp_path / "c.json"))
     assert hi.count("0") > lo.count("0")
+
+
+def test_preprocess_partial_tail_frame_label(tmp_path):
+    """The trailing partial frame (duration ceil vs the labeler's floor)
+    stays inside the '2' ignore margin when --label_pad_seconds is set,
+    and defaults to '1' otherwise."""
+    from sos_tpu.data.preprocess import process_audio_file
+    from sos_tpu.dsp import audio_io
+
+    sr = 44100
+    rng = np.random.default_rng(7)
+    # 4.01 s: 120 full frames + a partial tail frame -> num_frames 121
+    y = rng.standard_normal(int(4.01 * sr)).astype(np.float32) * 0.5
+    path = str(tmp_path / "t.wav")
+    audio_io.write_wav(path, y, sr)
+
+    rec = process_audio_file(path, label_silence=True,
+                             label_pad_seconds=1.0)
+    assert rec.num_frames == 121
+    assert rec.bit_stream[-31:] == "2" * 31  # 30 padded + the tail frame
+
+    rec0 = process_audio_file(path, label_silence=True)
+    assert rec0.num_frames == 121
+    assert rec0.bit_stream[-1] == "1"  # no margin: unknown tail = sound

@@ -539,20 +539,37 @@ def test_resume_does_not_clobber_best_acc(tmp_path):
     saved = json.load(open(os.path.join(d2, "latest.clock.json")))
     assert np.isfinite(saved["best_metric"])
 
-    # crash-after-best_acc-save: the resumed clock is STALE (-inf) but
-    # the best_acc sidecar already records 2.0 — fit must seed from the
-    # sidecar and leave the snapshot alone
+    # crash-after-best_acc-save: a RESUMED clock (ticked, from the last
+    # 'latest' save) is STALE (-inf best) but the best_acc sidecar
+    # already records 2.0 — fit must seed from the sidecar and leave
+    # the snapshot alone
     d3 = str(tmp_path / "stale_clock")
     from sos_tpu.train.checkpoints import CheckpointManager
 
     mgr3 = CheckpointManager(d3)
     mgr3.save(state, TrainClock(epoch=9, step=99, best_metric=2.0),
               "best_acc")
-    fit(cfg, state, TrainClock(), step, ev,
+    fit(cfg, state, TrainClock(epoch=0, minibatch=1, step=1), step, ev,
         _FakeBatcher(cfg, 3), _FakeBatcher(cfg, 2), d3, d3,
         num_devices=1, track_accuracy=True)
     kept = json.load(open(os.path.join(d3, "best_acc.clock.json")))
     assert kept["best_metric"] == 2.0 and kept["step"] == 99
+
+    # ...but a FRESH run (zero clock — not a resume) into a reused
+    # model_dir must be free to overwrite a previous run's best_acc
+    # with its own first best (the reference's best tracking is per-run
+    # in-memory; a retrain-from-scratch whose scores never top the old
+    # run's must not leave predict --ckpt best_acc silently serving the
+    # OLD run's weights)
+    d4 = str(tmp_path / "retrain")
+    mgr4 = CheckpointManager(d4)
+    mgr4.save(state, TrainClock(epoch=9, step=99, best_metric=2.0),
+              "best_acc")
+    fit(cfg, state, TrainClock(), step, ev,
+        _FakeBatcher(cfg, 3), _FakeBatcher(cfg, 2), d4, d4,
+        num_devices=1, track_accuracy=True)
+    fresh = json.load(open(os.path.join(d4, "best_acc.clock.json")))
+    assert fresh["best_metric"] <= 1.0 and fresh["step"] != 99
 
 
 def test_fit_closes_prefetcher_on_step_exception(tmp_path):
@@ -636,6 +653,12 @@ def test_peek_best_metric_handles_missing_and_corrupt(tmp_path):
 
     open(side, "w").write('{"epoch": 1, "st')  # torn
     assert mgr.peek_best_metric("best_acc") == float("-inf")
+
+    # valid JSON that isn't a usable sidecar shape
+    for payload in ("null", "[1]", '{"best_metric": null}',
+                    '{"best_metric": "nope"}'):
+        open(side, "w").write(payload)
+        assert mgr.peek_best_metric("best_acc") == float("-inf"), payload
 
     open(side, "w").write('{"best_metric": 0.75}')
     assert mgr.peek_best_metric("best_acc") == 0.75
