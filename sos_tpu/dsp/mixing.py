@@ -155,8 +155,25 @@ def bitstream_to_sample_mask_np(
     `despeckle_min_run` are flipped.
     """
     bits = np.asarray(bits, dtype=np.float32)
-    a = frame_sample_matrix(len(bits), num_samples, ratio)
-    mask = (1.0 - bits) @ a
+    # O(num_samples) difference-array expansion — exactly `(1-bits) @ A`
+    # for the frame_sample_matrix geometry, WITHOUT materializing the
+    # dense (num_frames, num_samples) matrix: full-utterance eval calls
+    # this with whole-file lengths (a 60 s file at 14 kHz/30 fps would
+    # be an 1800 x 840000 ~ 6 GB matrix, and the lru_cache would pin 32
+    # of them). Frame bodies are disjoint, so a +/- at each body's
+    # [lo, hi) edges followed by a cumsum reproduces the matmul exactly.
+    num_frames = len(bits)
+    f = np.arange(num_frames, dtype=np.float64)
+    lo = (f * ratio).astype(np.int64)
+    hi = ((f + 1.0) * ratio - 1.0).astype(np.int64)  # 1-sample boundary gap
+    hi = np.clip(np.minimum(hi, num_samples), 0, None)
+    lo = np.minimum(lo, num_samples)
+    hi = np.maximum(hi, lo)
+    inv = 1.0 - bits
+    diff = np.zeros(num_samples + 1, dtype=np.float32)
+    np.add.at(diff, lo, inv)
+    np.add.at(diff, hi, -inv)
+    mask = np.cumsum(diff[:-1], dtype=np.float32)
     return despeckle_mask_np(mask, despeckle_min_run)
 
 
@@ -201,13 +218,71 @@ def _despeckle_gap_matrix(
     return g
 
 
+# Above this many (num_frames * num_samples) elements the dense
+# assignment/gap matrices are replaced by O(num_samples) gather maps:
+# full-utterance buckets (e.g. a 60 s utterance: 1800 x 840000 ~ 6 GB
+# f32) cannot afford the dense form, while the production 2 s clip
+# (60 x 28000, ~6.7 MB) keeps the measured MXU-matmul formulation.
+_DENSE_MASK_MAX_ELEMS = 1 << 24
+
+
+@functools.lru_cache(maxsize=8)
+def _frame_sample_maps(
+    num_frames: int, num_samples: int, ratio: float, min_run: int
+):
+    """O(num_samples) equivalent of the dense matrices: per-sample
+    covering-frame index + in-body indicator, and the despeckle gap map
+    (same short-run geometry as `_despeckle_gap_matrix`; `gap_ok=False`
+    means the caller must use the generic despeckle fallback)."""
+    f = np.arange(num_frames, dtype=np.float64)
+    lo = (f * ratio).astype(np.int64)
+    hi = ((f + 1.0) * ratio - 1.0).astype(np.int64)
+    hi_c = np.minimum(hi, num_samples)
+    idx = np.arange(num_samples, dtype=np.int64)
+    fmap = np.clip(np.searchsorted(lo, idx, side="right") - 1,
+                   0, num_frames - 1)
+    body = ((idx >= lo[fmap]) & (idx < hi_c[fmap])).astype(np.float32)
+    # gap map: mirrors _despeckle_gap_matrix's validity conditions
+    gmap = np.zeros(num_samples, dtype=np.int32)
+    gmask = np.zeros(num_samples, dtype=np.float32)
+    gap_ok = True
+    if min_run > 1:
+        last_hi = int(num_frames * ratio - 1)
+        if last_hi > num_samples or np.any(hi - lo < min_run):
+            gap_ok = False  # clipped/short frame bodies: generic path
+        else:
+            # all interior gaps lie strictly below last_hi <= num_samples
+            # (monotone hi, ratio > min_run >= 2), so no filtering —
+            # gap at hi[f] is gated by pair element f
+            interior = hi[:-1]
+            gmask[interior] = 1.0
+            gmap[interior] = np.arange(num_frames - 1, dtype=np.int32)
+            tail_len = num_samples - last_hi
+            if 0 < tail_len < min_run:
+                gmask[last_hi:] = 1.0
+                gmap[last_hi:] = num_frames - 1
+    return fmap.astype(np.int32), body, gmap, gmask, gap_ok
+
+
 def bitstream_to_sample_mask(
     bits: jnp.ndarray, ratio: float, num_samples: int, despeckle_min_run: int = 5
 ) -> jnp.ndarray:
     """Device-side batched version: bits `(..., num_frames)` -> mask `(..., num_samples)`."""
     num_frames = bits.shape[-1]
-    a = jnp.asarray(frame_sample_matrix(num_frames, num_samples, ratio))
     inv = 1.0 - bits.astype(jnp.float32)
+    if num_frames * num_samples > _DENSE_MASK_MAX_ELEMS:
+        fmap, body, gmap, gmask, gap_ok = _frame_sample_maps(
+            num_frames, num_samples, ratio, despeckle_min_run)
+        mask = jnp.take(inv, jnp.asarray(fmap), axis=-1) * jnp.asarray(body)
+        if despeckle_min_run <= 1:
+            return mask
+        if not gap_ok:
+            return despeckle_mask(mask, despeckle_min_run)
+        pair = jnp.concatenate(
+            [inv[..., :-1] * inv[..., 1:], inv[..., -1:]], axis=-1)
+        return mask + jnp.take(pair, jnp.asarray(gmap),
+                               axis=-1) * jnp.asarray(gmask)
+    a = jnp.asarray(frame_sample_matrix(num_frames, num_samples, ratio))
     mask = jnp.matmul(inv, a, precision=jax.lax.Precision.HIGHEST)
     gap = _despeckle_gap_matrix(num_frames, num_samples, ratio,
                                 despeckle_min_run)

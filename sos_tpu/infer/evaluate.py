@@ -271,7 +271,34 @@ def create_data_from_prediction(
     labels: List[int] = []
     preds: List[int] = []
     ds_path = ""
-    save_dir = os.path.join(base_dir, "recovered" + nsuffix)
+    # recovered/ wavs anchor at the OUTPUT json's directory: pred_data
+    # records them as paths relative to itself and evaluate_denoiser
+    # resolves them against dirname(pred_data_json) — anchoring at the
+    # input side would break --output_json into another directory
+    # (reference parity: create_data_from_pred.py:148 writes next to
+    # its output json). Noise-info reads stay at base_dir (they were
+    # written next to eval_results by stage 1).
+    out_dir = os.path.dirname(os.path.abspath(output_json))
+    save_dir = os.path.join(out_dir, "recovered" + nsuffix)
+    if save_results:
+        # recovered/ stems are wav basenames — duplicates would silently
+        # overwrite each other's mixed/clean/noise outputs (the loud
+        # guard in evaluate_detector only runs on the save_noise_info
+        # path); fail loudly here too
+        from collections import Counter
+        counts = Counter(_basename_noext(it["path"]) for it in groups)
+        dups = sorted(s for s, c in counts.items() if c > 1)
+        if dups:
+            raise ValueError(
+                "duplicate wav basenames in eval_results (recovered/ "
+                f"outputs are keyed by basename): {dups[:5]} — rename "
+                "the files or bridge the directories separately")
+    noise_info_all = None
+    if save_results and clean_audio:
+        noise_json = os.path.join(
+            base_dir, "noise" + nsuffix, (nsuffix[1:] or "noise") + ".json")
+        with open(noise_json) as fp:
+            noise_info_all = json.load(fp)["files"]
     for item in groups:
         ds_path = item["path"] if not ds_path else os.path.commonprefix(
             [ds_path, item["path"]])
@@ -292,13 +319,16 @@ def create_data_from_prediction(
             continue
         os.makedirs(save_dir, exist_ok=True)
         wav_path = item["path"]
+        if wav_path.endswith(".mp4"):
+            # video-era dataset records: the record path names the clip,
+            # the detected audio lives beside it as .wav (reference
+            # parity: create_data_from_pred.py:129; evaluate_detector
+            # itself reads the record's audio_path)
+            wav_path = wav_path[:-4] + ".wav"
         stem = _basename_noext(wav_path)
         snd, _ = audio_io.load(wav_path, sr=sr)
         if clean_audio:
-            noise_json = os.path.join(
-                base_dir, "noise" + nsuffix, (nsuffix[1:] or "noise") + ".json")
-            with open(noise_json) as fp:
-                noise_info = json.load(fp)["files"][os.path.basename(wav_path)]
+            noise_info = noise_info_all[os.path.basename(wav_path)]
             noise, _ = audio_io.load(
                 os.path.join(base_dir, "noise" + nsuffix, noise_info["noise"]),
                 sr=sr)
@@ -412,6 +442,12 @@ def evaluate_denoiser(
     sr = cfg.data.sample_rate
 
     files = payload["files"]
+    if files and "mixed_audio" not in files[0]:
+        raise ValueError(
+            "pred_data records carry no 'mixed_audio' — the bridge was "
+            "run with save_results=False, which skips writing the "
+            "recovered/ wavs stage 2 consumes. Re-run sos_tpu.cli.bridge "
+            "with --save_results true.")
     mixed_paths = [os.path.join(base_dir, d["mixed_audio"]) for d in files]
     mixed_all = _load_many(mixed_paths, sr)
     use_batched = batch_size is not None and predictor.buckets is not None

@@ -60,13 +60,17 @@ class StreamingDenoiser:
         # iSTFT yields floor(L/hop)*hop samples per chunk
         self.valid = (self.chunk // hop) * hop
         self.overlap = int(overlap_seconds * sr)
-        # stride must stay positive: the overlap is bounded by the
-        # iSTFT-valid span (< chunk_seconds because iSTFT yields
-        # floor(L/hop)*hop samples), not by chunk_seconds itself
-        assert 0 <= self.overlap < self.valid, (
+        # the overlap is bounded by HALF the iSTFT-valid span
+        # (< chunk_seconds because iSTFT yields floor(L/hop)*hop
+        # samples): beyond that, 3+ chunks cover one sample, the
+        # crossfade ramps stop being complementary, and reconcile_bits'
+        # pairwise boundary consistency no longer covers every blend —
+        # both invariants this class is built on
+        assert 0 <= 2 * self.overlap <= self.valid, (
             f"overlap_seconds={overlap_seconds} must satisfy "
-            f"0 <= overlap < {self.valid / sr:.4f}s (the iSTFT-valid "
-            f"span of a {chunk_seconds}s chunk)")
+            f"0 <= overlap <= {self.valid / (2 * sr):.4f}s (half the "
+            f"iSTFT-valid span of a {chunk_seconds}s chunk, so every "
+            "sample is covered by at most two chunks)")
         self.stride = self.valid - self.overlap
         self.batch_chunks = batch_chunks
         self.consistent_boundaries = consistent_boundaries

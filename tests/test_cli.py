@@ -116,6 +116,35 @@ def test_cli_full_flow(cli_env, monkeypatch):
 
     _run(report.main, ["--results_dir", final_out], monkeypatch)
 
+    # --output_json into ANOTHER directory: the recovered/ wavs anchor
+    # next to the output json (pred_data records paths relative to
+    # itself), so stage 2 resolves them from there
+    other = root / "elsewhere"
+    other.mkdir()
+    out_json2 = str(other / "pred_data_moved.json")
+    _run(bridge.main, ["--input_json", eval_json, "--snr", "0",
+                       "--output_json", out_json2], monkeypatch)
+    with open(out_json2) as fp:
+        moved = json.load(fp)
+    for item in moved["files"]:
+        for key in ("mixed_audio", "clean_audio", "full_noise"):
+            rel = item[key]
+            assert not os.path.isabs(rel)
+            assert os.path.exists(os.path.join(str(other), rel)), (key, rel)
+
+    # save_results=False emits a bitstream-only pred_data; stage 2 must
+    # refuse it with guidance, not a KeyError
+    out_json3 = str(root / "pred_data_nosave.json")
+    _run(bridge.main, ["--input_json", eval_json, "--snr", "0",
+                       "--output_json", out_json3,
+                       "--save_results", "false"], monkeypatch)
+    from sos_tpu.infer.evaluate import evaluate_denoiser
+
+    with pytest.raises(ValueError, match="save_results"):
+        evaluate_denoiser(
+            ExperimentConfig.from_json(open(cli_env["cfg"]).read()),
+            None, out_json3, str(root / "nowhere"))
+
 
 def test_cli_one_shot_denoise(cli_env, monkeypatch):
     """The single-command wav->wav tool runs on trained tiny checkpoints."""

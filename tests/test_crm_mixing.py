@@ -198,3 +198,56 @@ def test_matmul_despeckle_falls_back_on_bad_geometry():
     np.testing.assert_array_equal(out[0],
                                   bitstream_to_sample_mask_np(bits[0], 3.0,
                                                               30, 5))
+
+
+def test_host_mask_matches_dense_matmul(rng):
+    """bitstream_to_sample_mask_np's O(num_samples) difference-array
+    expansion is bit-exact vs the dense `(1-bits) @ A` construction it
+    replaced (full-utterance eval calls it with whole-file lengths, so
+    the dense (frames x samples) matrix must never materialize)."""
+    from sos_tpu.dsp.mixing import (bitstream_to_sample_mask_np,
+                                    despeckle_mask_np, frame_sample_matrix)
+
+    for num_frames, ratio, num_samples, min_run in (
+            (60, 14000.0 / 30.0, 28000, 5),
+            (7, 13.7, 100, 5),
+            (13, 13.0, 177, 3),
+            (5, 3.5, 20, 2),
+            (1, 466.67, 400, 5),
+            (60, 14000.0 / 30.0, 27950, 5),  # clipped final body
+    ):
+        for _ in range(10):
+            bits = rng.integers(0, 2, num_frames).astype(np.float32)
+            got = bitstream_to_sample_mask_np(bits, ratio, num_samples,
+                                              min_run)
+            a = frame_sample_matrix(num_frames, num_samples, ratio)
+            want = despeckle_mask_np((1.0 - bits) @ a, min_run)
+            np.testing.assert_array_equal(
+                got, want, err_msg=str((num_frames, ratio, num_samples)))
+
+
+def test_device_mask_gather_path_matches_matmul(rng, monkeypatch):
+    """Above _DENSE_MASK_MAX_ELEMS the device mask switches to O(samples)
+    gather maps (full-utterance buckets: a 60 s bucket's dense matrix
+    would be ~6 GB); the gather formulation must equal the dense matmul
+    bit-for-bit, including the despeckle gap terms and the generic
+    fallback geometry."""
+    import sos_tpu.dsp.mixing as mixing
+
+    for num_frames, ratio, num_samples, min_run in (
+            (60, 14000.0 / 30.0, 28000, 5),
+            (7, 13.7, 100, 5),
+            (13, 13.0, 177, 3),
+            (5, 3.5, 20, 2),       # gap matrix refuses: generic fallback
+            (60, 14000.0 / 30.0, 27950, 5),
+            (60, 14000.0 / 30.0, 28000, 1),  # despeckle disabled
+    ):
+        bits = rng.integers(0, 2, (4, num_frames)).astype(np.float32)
+        monkeypatch.setattr(mixing, "_DENSE_MASK_MAX_ELEMS", 0)
+        got = np.asarray(mixing.bitstream_to_sample_mask(
+            jnp.asarray(bits), ratio, num_samples, min_run))
+        monkeypatch.setattr(mixing, "_DENSE_MASK_MAX_ELEMS", 10 ** 15)
+        want = np.asarray(mixing.bitstream_to_sample_mask(
+            jnp.asarray(bits), ratio, num_samples, min_run))
+        np.testing.assert_array_equal(
+            got, want, err_msg=str((num_frames, ratio, num_samples, min_run)))

@@ -342,8 +342,10 @@ def test_reconcile_bits_agrees_across_whole_overlap(tiny, rng):
     overlap carry the SAME decision for every overlapped frame (leading
     half owned by the earlier chunk, trailing half by the later one)."""
     cfg, det_vars, den_vars = tiny
+    # 0.9 s is near the overlap ceiling (half the iSTFT-valid span of a
+    # 2 s chunk, ~0.9988 s); 1.0 s would let 3 chunks cover one sample
     s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
-                          overlap_seconds=1.0)
+                          overlap_seconds=0.9)
     n_frames = int(2.0 * cfg.data.frame_rate)
     bits = rng.integers(0, 2, (3, n_frames)).astype(np.float32)
     starts = [0, s.stride, 2 * s.stride]
