@@ -130,6 +130,8 @@ class _WavCache:
                 self._engine = None
 
     def _put(self, path: str, wav: np.ndarray) -> None:
+        if self.capacity <= 0:
+            return  # caching disabled: every get() decodes
         while len(self._store) >= self.capacity:
             self._store.popitem(last=False)
         self._store[path] = wav
@@ -153,7 +155,7 @@ class _WavCache:
         missing = [p for p in dict.fromkeys(paths) if p not in self._store]
         if self._engine is None or len(missing) < 2:
             return
-        import math
+        from sos_tpu.runtime import resampled_length
 
         max_out = 0
         lengths_ok = True
@@ -163,9 +165,8 @@ class _WavCache:
             except OSError:
                 lengths_ok = False  # let get() surface the error per-file
                 break
-            g = math.gcd(self.sample_rate, native_sr)
-            up, down = self.sample_rate // g, native_sr // g
-            max_out = max(max_out, (n * up + down - 1) // down)
+            max_out = max(max_out,
+                          resampled_length(n, native_sr, self.sample_rate))
         if not lengths_ok or max_out == 0:
             return
         buf, lengths = self._engine.load_batch(missing, self.sample_rate,
@@ -183,7 +184,6 @@ class _BatcherBase:
         batch_size: int,
         shuffle: bool,
         seed: int = 0,
-        drop_remainder: bool = True,
     ):
         self.windows = list(windows)
         self.noise = noise_bank
@@ -191,14 +191,29 @@ class _BatcherBase:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
-        self.drop_remainder = drop_remainder
         self.cache = _WavCache(data_cfg.sample_rate,
                                capacity=data_cfg.wav_cache_capacity)
         self.epoch = 0
+        # The jitted train step builds the device silence mask with the
+        # CONFIGURED frame rate (one static frame->sample matrix per
+        # program); a file whose own framerate differs would have its
+        # labels/mask silently misaligned against the audio the host
+        # sliced with the per-file rate. The full-utterance eval drivers
+        # honor per-file framerates; training requires the canonical one.
+        bad = sorted({w.framerate for w in self.windows
+                      if abs(w.framerate - data_cfg.frame_rate) > 1e-9})
+        if bad:
+            raise ValueError(
+                f"training windows carry framerates {bad} but the device "
+                f"mix/STFT stage is built for frame_rate="
+                f"{data_cfg.frame_rate}; re-encode the dataset at the "
+                "configured rate (or change data.frame_rate)")
 
     def __len__(self) -> int:
-        n = len(self.windows)
-        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+        # fixed-shape batches only: the jitted step, shard_batch
+        # divisibility and the epoch-order resume all assume every batch
+        # has exactly batch_size items, so the remainder is dropped
+        return len(self.windows) // self.batch_size
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch

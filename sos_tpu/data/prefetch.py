@@ -60,22 +60,37 @@ class Prefetcher(Iterator[T]):
         return self
 
     def __next__(self) -> T:
+        # after exhaustion/close() the sentinel was already consumed —
+        # a further next() must raise StopIteration per the iterator
+        # protocol, not block forever on the empty queue
+        if self._stop.is_set():
+            raise StopIteration
         item = self._q.get()
         if item is _SENTINEL:
             self._stop.set()
             if self._err is not None:
-                raise self._err
+                err, self._err = self._err, None  # raise once
+                raise err
             raise StopIteration
         return item
 
     def close(self) -> None:
         self._stop.set()
-        # drain so a blocked producer can observe the stop flag
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        # Drain so a producer blocked on the full queue observes the
+        # stop flag, then WAIT for it to exit: the producer mutates the
+        # batcher's shared (non-thread-safe) wav cache, so returning
+        # while it still runs would race any post-close() user of the
+        # batcher. Bounded join — the thread is a daemon and at worst
+        # finishes its in-flight batch (decode included).
+        deadline = 30.0
+        while self._thread.is_alive() and deadline > 0:
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.1)
+            deadline -= 0.1
 
     def __del__(self):  # pragma: no cover - GC timing
         self.close()

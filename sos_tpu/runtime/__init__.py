@@ -1,3 +1,7 @@
 """Native (C++) host runtime: audio decode/resample/mix engine."""
 
-from sos_tpu.runtime.engine import NativeAudioEngine, native_available  # noqa: F401
+from sos_tpu.runtime.engine import (  # noqa: F401
+    NativeAudioEngine,
+    native_available,
+    resampled_length,
+)

@@ -61,6 +61,20 @@ def _load() -> Optional[ctypes.CDLL]:
     return lib
 
 
+def resampled_length(n: int, native_sr: int, target_sr: int) -> int:
+    """Output length of the engine's polyphase resampler for an n-sample
+    input — the ONE source of truth for the ceil(n*up/down) convention
+    shared by `NativeAudioEngine.load`, `_WavCache.prefetch_paths`'s
+    buffer sizing and the C++ `load_worker` clamp (audio_engine.cpp)."""
+    if native_sr == target_sr:
+        return n
+    import math
+
+    g = math.gcd(target_sr, native_sr)
+    up, down = target_sr // g, native_sr // g
+    return (n * up + down - 1) // down
+
+
 def native_available() -> bool:
     return _load() is not None
 
@@ -100,7 +114,8 @@ class NativeAudioEngine:
 
         g = math.gcd(sr, native_sr)
         up, down = sr // g, native_sr // g
-        out = np.empty((len(buf) * up + down - 1) // down, dtype=np.float32)
+        out = np.empty(resampled_length(len(buf), native_sr, sr),
+                       dtype=np.float32)
         m = self.lib.resample_poly(_fptr(buf), len(buf), up, down, 12.9846,
                                    _fptr(out))
         return out[:m], sr

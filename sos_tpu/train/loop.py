@@ -53,6 +53,20 @@ def make_optimizer(cfg: ExperimentConfig, steps_per_epoch: int):
     return optax.adam(make_lr_schedule(cfg, steps_per_epoch))
 
 
+def _schedule_count(opt_state, fallback):
+    """The optimizer's own schedule count — this, not `state.step`, is
+    what Adam indexes the staircase with: guarded_update reverts the
+    count on a skipped non-finite step while `step` always advances, so
+    after any skip the two diverge and the logged lr would lie."""
+    leaves = jax.tree_util.tree_leaves(
+        opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState))
+    for leaf in leaves:
+        if isinstance(leaf, optax.ScaleByScheduleState):
+            return leaf.count
+    return fallback
+
+
 # ---------------------------------------------------------------------------
 # Initialization
 # ---------------------------------------------------------------------------
@@ -185,7 +199,8 @@ def make_detector_train_step(cfg: ExperimentConfig, model: SilenceDetector,
                         == prepared["label"]).astype(jnp.float32))
         metrics = {"loss": loss, "accuracy": acc,
                    "finite": finite.astype(jnp.float32),
-                   "lr": make_lr_schedule(cfg, steps_per_epoch)(state.step)}
+                   "lr": make_lr_schedule(cfg, steps_per_epoch)(
+                       _schedule_count(state.opt_state, state.step))}
         return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
 
     return train_step
@@ -244,7 +259,8 @@ def make_denoiser_train_step(cfg: ExperimentConfig, model: JointDenoiser,
             tx, state, grads, new_stats, cfg.train.skip_nonfinite_updates)
         metrics = {"loss": loss, "stage1": l1, "stage2": l2,
                    "finite": finite.astype(jnp.float32),
-                   "lr": make_lr_schedule(cfg, steps_per_epoch)(state.step)}
+                   "lr": make_lr_schedule(cfg, steps_per_epoch)(
+                       _schedule_count(state.opt_state, state.step))}
         return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
 
     return train_step

@@ -309,3 +309,37 @@ def test_batcher_iter_from_matches_full_iteration(tmp_path):
     for a, b in zip(full[2:], resumed):
         for k in ("clean", "noise", "snr", "bits"):
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_wav_cache_capacity_zero_disables_caching(tmp_path, monkeypatch):
+    """capacity <= 0 means 'no caching': every get() decodes, nothing is
+    stored, and nothing crashes (the eviction loop used to popitem an
+    empty store)."""
+    from sos_tpu.data.pipeline import _WavCache
+
+    sr = 14000
+    p = str(tmp_path / "c.wav")
+    audio_io.write_wav(p, np.full(100, 0.01, np.float32), sr)
+    cache = _WavCache(sr, capacity=0, use_native=False)
+    decodes = []
+    real_load = audio_io.load
+    monkeypatch.setattr(audio_io, "load",
+                        lambda q, sr=None: decodes.append(q) or real_load(q, sr=sr))
+    a = cache.get(p)
+    b = cache.get(p)
+    np.testing.assert_array_equal(a, b)
+    assert decodes.count(p) == 2 and len(cache._store) == 0
+
+
+def test_batcher_rejects_mismatched_framerate(tmp_path):
+    """The device mix/STFT stage builds its frame->sample mask with the
+    CONFIGURED frame rate; a training window whose file framerate differs
+    would silently misalign labels against the sliced audio — the
+    batcher must refuse it loudly."""
+    from sos_tpu.data.pipeline import DetectorBatcher
+
+    idx = _make_fixture(tmp_path, seconds=4.0, fps=25.0)
+    wins = detector_windows(idx.files, clip_frames=60)
+    cfg = DataConfig()  # frame_rate 30
+    with pytest.raises(ValueError, match="framerate"):
+        DetectorBatcher(wins, _noise_bank(), cfg, batch_size=2, shuffle=False)

@@ -138,3 +138,59 @@ def test_batcher_shard_decorrelates_noise_streams(tmp_path):
     b0_again = host_batch(0)
     np.testing.assert_array_equal(b0["noise"], b0_again["noise"])
     np.testing.assert_array_equal(b0["snr"], b0_again["snr"])
+
+
+def test_prefetch_stopiteration_after_exhaustion_and_close():
+    """Iterator protocol: next() after exhaustion (or close()) raises
+    StopIteration instead of blocking forever on the drained queue, and
+    a producer error re-raises exactly once."""
+    from sos_tpu.data.prefetch import prefetch
+
+    it = prefetch(iter([1, 2, 3]), depth=2)
+    assert list(it) == [1, 2, 3]
+    with pytest.raises(StopIteration):
+        next(it)
+    with pytest.raises(StopIteration):  # and stays exhausted
+        next(it)
+
+    it2 = prefetch(iter([1, 2, 3, 4, 5, 6]), depth=1)
+    assert next(it2) == 1
+    it2.close()
+    with pytest.raises(StopIteration):
+        next(it2)
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it3 = prefetch(boom(), depth=2)
+    assert next(it3) == 1
+    with pytest.raises(RuntimeError, match="producer died"):
+        next(it3)
+    with pytest.raises(StopIteration):  # raised once, then exhausted
+        next(it3)
+
+
+def test_prefetch_close_joins_producer():
+    """close() returns only after the producer thread has exited (it
+    mutates the batcher's shared wav cache, so a still-running producer
+    would race any post-close() user of the batcher)."""
+    import threading
+    import time
+
+    from sos_tpu.data.prefetch import prefetch
+
+    in_item = threading.Event()
+
+    def slow():
+        for i in range(100):
+            if i == 1:
+                in_item.set()
+                time.sleep(0.3)  # close() lands mid-assembly
+            yield i
+
+    it = prefetch(slow(), depth=1)
+    assert next(it) == 0
+    assert in_item.wait(timeout=10)
+    it.close()
+    assert not it._thread.is_alive()

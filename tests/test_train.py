@@ -373,6 +373,37 @@ def test_nonfinite_gradient_guard():
     assert changed
 
 
+def test_lr_metric_tracks_optimizer_schedule_count():
+    """The logged lr must index the staircase with the optimizer's OWN
+    schedule count — guarded_update reverts the count on a skipped
+    non-finite step while state.step always advances, so after a skip
+    schedule(state.step) would report a decay Adam has not applied."""
+    import dataclasses
+
+    from sos_tpu.train.loop import _schedule_count, make_lr_schedule
+
+    cfg = tiny_detector_cfg()
+    # decay boundary at step 2 (steps_per_epoch=2, lr_step_size=1)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, lr_step_size=1))
+    model, state = init_detector_state(cfg, steps_per_epoch=2)
+    step = make_detector_train_step(cfg, model, steps_per_epoch=2)
+    sched = make_lr_schedule(cfg, steps_per_epoch=2)
+
+    good = _detector_batch(cfg, 2)
+    bad = _detector_batch(cfg, 2, seed=3)
+    bad["clean"] = bad["clean"].copy()
+    bad["clean"][0, :10] = np.nan
+
+    state, m = step(state, good)   # count 0 -> 1
+    state, m = step(state, bad)    # skipped: count stays 1, step -> 2
+    assert float(m["finite"]) == 0.0
+    assert int(_schedule_count(state.opt_state, state.step)) == 1
+    state, m = step(state, good)   # applies lr(schedule count 1), pre-decay
+    assert float(m["lr"]) == pytest.approx(float(sched(1)))
+    assert float(sched(1)) != pytest.approx(float(sched(2)))  # boundary real
+
+
 def test_sigterm_preemption_saves_resumable_latest(tmp_path):
     """SIGTERM mid-training saves `latest` at a step boundary and exits
     cleanly; a `--continue` resume picks up from that exact position
