@@ -180,18 +180,29 @@ class ServeLoop:
             q_dec.put(_DONE)
 
         def reader_decoder():
+            it = iter(lines)
             try:
-                for raw in lines:
+                while True:
+                    # shutdown/emit-failure are checked BEFORE pulling the
+                    # next line, never after: a line the reader has already
+                    # read off the input was received and must be answered
+                    # (decoded + enqueued) even when SIGTERM lands while it
+                    # is being handled — otherwise a supervisor redeploy
+                    # silently drops a successfully submitted request.
+                    if self._emit_failed is not None:
+                        break  # client gone: stop accepting work
+                    if self._shutdown:
+                        break  # SIGTERM: stop accepting, drain queued
+                    try:
+                        raw = next(it)
+                    except StopIteration:
+                        break
                     # busy until this line's request (if any) is safely
                     # in q_dec — the SIGTERM drain keys off it, so a
                     # request whose decode is in flight when the signal
                     # lands still gets its response
                     self._reader_busy = True
                     try:
-                        if self._emit_failed is not None:
-                            break  # client gone: stop accepting work
-                        if self._shutdown:
-                            break  # SIGTERM: stop accepting, drain queued
                         line = raw.strip()
                         if not line:
                             continue

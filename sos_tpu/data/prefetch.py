@@ -91,6 +91,17 @@ class Prefetcher(Iterator[T]):
                 pass
             self._thread.join(timeout=0.1)
             deadline -= 0.1
+        # A consumer on ANOTHER thread may be blocked in __next__'s
+        # q.get() (it checked _stop before we set it); the producer is
+        # gone and its sentinel may have been drained above, so nothing
+        # would ever wake it. Re-inject a sentinel non-blockingly — the
+        # queue was just drained so this succeeds, and a stray sentinel
+        # is harmless (post-close __next__ raises StopIteration before
+        # reading the queue).
+        try:
+            self._q.put_nowait(_SENTINEL)
+        except queue.Full:
+            pass
 
     def __del__(self):  # pragma: no cover - GC timing
         self.close()

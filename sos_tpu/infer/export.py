@@ -70,12 +70,16 @@ def export_denoise_program(
         # happens to flow first, so a bad file is an error, not a retry
         pipe.load_calibration_file(calibration_path, strict=True)
 
-    det_vars, den_vars, run = pipe.detector_vars, pipe.denoiser_vars, pipe._run
+    run = pipe._run
+    if pipe._quant is not None:
+        serve = run  # int8 programs already close over folded constants
+    else:
+        det_vars, den_vars = pipe.detector_vars, pipe.denoiser_vars
 
-    @jax.jit
-    def serve(mixed):
-        # weights close over as embedded constants
-        return run(det_vars, den_vars, mixed)
+        @jax.jit
+        def serve(mixed):
+            # weights close over as embedded constants
+            return run(det_vars, den_vars, mixed)
 
     spec = jax.ShapeDtypeStruct((batch, pipe.clip_samples), jnp.float32)
     exported = jax_export.export(serve, platforms=list(platforms))(spec)

@@ -59,6 +59,11 @@ class FusedDenoisePipeline:
         self.clip_samples = int(clip_seconds * cfg.data.sample_rate)
         self.num_frames = int(clip_seconds * cfg.data.frame_rate)
         self._calibration_path = calibration_path
+        # set by shard(): a NamedSharding committing the batch dim over a
+        # mesh; applied to EVERY entry point's array inputs (__call__,
+        # detect_bits, denoise_with_bits) so StreamingDenoiser's
+        # boundary-consistent split path is sharded too
+        self._batch_sh = None
         self._quant = None
         self._quant_det = None
         if self.profile == "int8":
@@ -111,8 +116,13 @@ class FusedDenoisePipeline:
         from sos_tpu.dsp.crm import crm_sigmoid_recover
         from sos_tpu.dsp.stft import istft_packed, stft_packed
 
+        # int8 programs take ONLY the waveform: the folded int8 weights
+        # live inside the quant objects and close over as jit constants,
+        # so passing the float checkpoint pytrees would cost per-call
+        # flatten/hash dispatch on hundreds of arrays the traced program
+        # never reads (the serve hot path pays that per request).
         @jax.jit
-        def run(det_vars, _unused, mixed):
+        def run(mixed):
             # ONE packed STFT feeds both the quantized detector and the
             # denoiser's mixed branch.
             mr, mi = stft_packed(mixed, scfg.n_fft, scfg.hop_length,
@@ -132,11 +142,20 @@ class FusedDenoisePipeline:
 
         return run
 
+    def _commit(self, arr: jnp.ndarray) -> jnp.ndarray:
+        """Apply the shard() batch sharding (no-op when unsharded)."""
+        if self._batch_sh is None:
+            return arr
+        return jax.device_put(arr, self._batch_sh)
+
     def __call__(self, mixed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """mixed: (B, clip_samples) -> (denoised (B, (T-1)*hop), bits (B, frames))."""
         assert mixed.shape[-1] == self.clip_samples, (
             mixed.shape, self.clip_samples)
         self._maybe_calibrate(mixed)
+        mixed = self._commit(mixed)
+        if self._quant is not None:
+            return self._run(mixed)
         return self._run(self.detector_vars, self.denoiser_vars, mixed)
 
     # -- split entries (used by StreamingDenoiser's boundary-consistent
@@ -157,8 +176,10 @@ class FusedDenoisePipeline:
         if quant_det is not None:
             from sos_tpu.dsp.stft import stft_packed as _sp
 
+            # int8 variants take only arrays (weights are jit constants;
+            # see _build_int8)
             @jax.jit
-            def detect(det_vars, mixed):
+            def detect(mixed):
                 mr, mi = _sp(mixed, scfg.n_fft, scfg.hop_length,
                              scfg.win_length)
                 logits = quant_det.logits_packed(mr, mi, num_frames)
@@ -181,7 +202,7 @@ class FusedDenoisePipeline:
             from sos_tpu.dsp.stft import istft_packed, stft_packed
 
             @jax.jit
-            def denoise_bits(den_vars, mixed, bits):
+            def denoise_bits(mixed, bits):
                 mask = bitstream_to_sample_mask(
                     bits, ratio, clip_samples, cfg.data.despeckle_min_run)
                 mr, mi = stft_packed(mixed, scfg.n_fft, scfg.hop_length,
@@ -215,6 +236,9 @@ class FusedDenoisePipeline:
         self._maybe_calibrate(mixed)
         if not hasattr(self, "_detect"):
             self._detect, self._denoise_bits = self._build_split()
+        mixed = self._commit(mixed)
+        if self._quant_det is not None:
+            return self._detect(mixed)
         return self._detect(self.detector_vars, mixed)
 
     def denoise_with_bits(self, mixed: jnp.ndarray,
@@ -223,6 +247,9 @@ class FusedDenoisePipeline:
         self._maybe_calibrate(mixed)
         if not hasattr(self, "_denoise_bits"):
             self._detect, self._denoise_bits = self._build_split()
+        mixed, bits = self._commit(mixed), self._commit(bits)
+        if self._quant is not None:
+            return self._denoise_bits(mixed, bits)
         return self._denoise_bits(self.denoiser_vars, mixed, bits)
 
     def ensure_calibrated(self) -> bool:
@@ -242,9 +269,10 @@ class FusedDenoisePipeline:
         truncated or wrong-schema file logs a warning and returns False —
         the pipeline then self-calibrates and rewrites it. Strict
         (export): raises ValueError naming the file and the problem."""
-        import json
         import logging
-        import os
+
+        from sos_tpu.models.quant import (CALIBRATION_SCHEMA_ERRORS,
+                                          parse_calibration_file)
 
         def _fail(msg):
             if strict:
@@ -254,14 +282,10 @@ class FusedDenoisePipeline:
                 path, msg)
             return False
 
-        if not os.path.exists(path):
-            return _fail("not found")
-        try:
-            with open(path) as fp:
-                state = json.load(fp)
-        except (OSError, ValueError) as exc:
-            return _fail(f"unreadable ({exc})")
-        if not isinstance(state, dict) or "denoiser" not in state:
+        state, problem = parse_calibration_file(path)
+        if state is None:
+            return _fail(problem)
+        if "denoiser" not in state:
             return _fail(
                 'missing the "denoiser" key (expected the schema this '
                 "pipeline writes: {'denoiser': scales, 'detector': scales})")
@@ -298,11 +322,7 @@ class FusedDenoisePipeline:
                     return _fail('missing the "detector" scales this '
                                  "two-stage pipeline needs")
                 self._quant_det.load_calibration(state["detector"])
-        # AttributeError: a non-dict where a scale mapping belongs hits
-        # .items() inside load_calibration. Keep in sync with
-        # models/quant.py load_persisted_calibration (same schema).
-        except (AttributeError, IndexError, KeyError, TypeError,
-                ValueError) as exc:
+        except CALIBRATION_SCHEMA_ERRORS as exc:
             _restore()
             return _fail(f"wrong scale schema ({type(exc).__name__}: {exc})")
         return True
@@ -361,21 +381,20 @@ class FusedDenoisePipeline:
         """Serve batch-sharded over a device mesh (SPMD inference).
 
         Replicates the variables and marks the batch dim sharded; the same
-        jitted program then scales over however many chips the mesh has
-        (each call's batch must divide the mesh size).
+        jitted programs then scale over however many chips the mesh has
+        (each call's batch must divide the mesh size). Covers every entry
+        point — the fused __call__ AND the detect_bits/denoise_with_bits
+        split pair StreamingDenoiser's boundary-consistent mode uses —
+        via the _commit hook on their array inputs.
         """
-        import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        rep = NamedSharding(mesh, P())
-        self.detector_vars = jax.device_put(self.detector_vars, rep)
-        self.denoiser_vars = jax.device_put(self.denoiser_vars, rep)
-        inner = self._run
-        batch_sh = NamedSharding(mesh, P(axis))
-
-        def sharded_run(det_vars, den_vars, mixed):
-            mixed = jax.device_put(mixed, batch_sh)
-            return inner(det_vars, den_vars, mixed)
-
-        self._run = sharded_run
+        if self._quant is None:
+            # float profiles pass the checkpoints as program arguments;
+            # int8 programs close over folded constants instead (XLA
+            # replicates jit constants itself)
+            rep = NamedSharding(mesh, P())
+            self.detector_vars = jax.device_put(self.detector_vars, rep)
+            self.denoiser_vars = jax.device_put(self.denoiser_vars, rep)
+        self._batch_sh = NamedSharding(mesh, P(axis))
         return self

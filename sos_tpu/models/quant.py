@@ -710,27 +710,56 @@ class QuantizedDenoiser:
             {"params": self.head_params["fc2"]}, h))
 
 
-def read_calibration_state(path: str, key: str) -> Optional[Dict]:
-    """Parse a persisted int8 activation-scale JSON (the schema
-    FusedDenoisePipeline writes: {"denoiser": ..., "detector": ...}) and
-    return its `key` sub-state, or None with a logged warning naming the
-    file and the problem — shared by the standalone predictors so a
-    corrupt/foreign file is never ignored silently."""
+# The exception set load_calibration can raise on a wrong-schema scale
+# mapping (AttributeError: a non-dict where a mapping belongs hits
+# .items()). Every parser of the persisted calibration schema catches
+# exactly this tuple — one definition so they can't drift apart.
+CALIBRATION_SCHEMA_ERRORS = (AttributeError, IndexError, KeyError,
+                             TypeError, ValueError)
+
+
+def parse_calibration_file(path: str):
+    """File-level parse of a persisted int8 activation-scale JSON (the
+    schema FusedDenoisePipeline writes:
+    {"denoiser": scales, "detector": scales}).
+
+    Returns `(state, None)` on success or `(None, problem)` where
+    `problem` is a one-line description ("not found", "unreadable (...)",
+    "not a JSON object"). No logging — callers decide warn vs raise.
+    The single parser shared by the fused pipeline and the standalone
+    predictors, so they always agree on which files are valid."""
     import json
+    import os
+
+    if not os.path.exists(path):
+        return None, "not found"
+    try:
+        with open(path) as fp:
+            state = json.load(fp)
+    except (OSError, ValueError) as exc:
+        return None, f"unreadable ({exc})"
+    if not isinstance(state, dict):
+        return None, "not a JSON object"
+    return state, None
+
+
+def read_calibration_state(path: str, key: str) -> Optional[Dict]:
+    """Parse a persisted calibration JSON and return its `key` sub-state,
+    or None with a logged warning naming the file and the problem —
+    shared by the standalone predictors so a corrupt/foreign file is
+    never ignored silently."""
     import logging
     import os
 
     log = logging.getLogger(__name__)
     if not os.path.exists(path):
         return None  # absent is the normal first-run case: no warning
-    try:
-        with open(path) as fp:
-            state = json.load(fp)
-    except (OSError, ValueError) as exc:
-        log.warning("calibration file %s: unreadable (%s) — "
-                    "self-calibrating instead", path, exc)
+    state, problem = parse_calibration_file(path)
+    if state is None:
+        log.warning("calibration file %s: %s — self-calibrating instead",
+                    path, problem)
         return None
-    if not isinstance(state, dict) or key not in state:
+    if key not in state:
         log.warning('calibration file %s: missing the "%s" key — '
                     "self-calibrating instead", path, key)
         return None
@@ -753,12 +782,7 @@ def load_persisted_calibration(quant, path: str, key: str) -> bool:
     try:
         quant.load_calibration(state)
         return True
-    # AttributeError: a non-dict where a scale mapping belongs (e.g.
-    # "inpaint": [...]) hits .items(). Keep this except tuple in sync
-    # with FusedDenoisePipeline.load_calibration_file — both parse the
-    # same persisted schema.
-    except (AttributeError, IndexError, KeyError, TypeError,
-                ValueError) as exc:
+    except CALIBRATION_SCHEMA_ERRORS as exc:
         logging.getLogger(__name__).warning(
             "calibration file %s: wrong scale schema (%s) — "
             "self-calibrating instead", path, exc)

@@ -261,8 +261,9 @@ def fit(
                 if clock.step % 10 == 0:
                     if train_tb:
                         for k, v in metrics.items():
-                            train_tb.add_scalar(k, float(v),
-                                                global_step=clock.step)
+                            if np.ndim(v) == 0:
+                                train_tb.add_scalar(k, float(v),
+                                                    global_step=clock.step)
                         train_tb.add_scalar("steps_per_sec",
                                             timer.steps_per_sec,
                                             global_step=clock.step)

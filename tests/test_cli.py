@@ -527,3 +527,34 @@ def test_serve_shutdown_before_run_exits_immediately():
     t.join(timeout=10)
     assert not t.is_alive()
     assert emitted == ["BYE"]
+
+
+def test_serve_sigterm_answers_line_already_read():
+    """A request line the reader has already pulled off the input when
+    SIGTERM lands must still be answered (the shutdown check happens
+    before reading the next line, never after) — a supervisor redeploy
+    must not silently drop a successfully submitted request."""
+    import threading
+
+    from sos_tpu.cli.serve import ServeLoop
+
+    emitted = []
+    loop = ServeLoop(lambda wav: wav,
+                     lambda p: (np.zeros(1400, np.float32), 14000),
+                     lambda *a: None, 14000, emit=emitted.append)
+
+    def lines():
+        yield "a.wav\tout_a.wav"
+        # generator body resumes inside the reader's next(it) — i.e.
+        # AFTER this iteration's shutdown check: the SIGTERM lands with
+        # line b already on its way to the reader
+        loop.request_shutdown()
+        yield "b.wav\tout_b.wav"
+
+    t = threading.Thread(target=loop.run, args=(lines(),), daemon=True)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    oks = [ln.split()[1] for ln in emitted if ln.startswith("OK ")]
+    assert oks == ["out_a.wav", "out_b.wav"]
+    assert emitted[-1] == "BYE"

@@ -127,6 +127,38 @@ def test_fused_pipeline_sharded_over_mesh(tiny, rng):
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref_bits))
 
 
+def test_split_entries_sharded_over_mesh(tiny, rng):
+    """shard() must also cover detect_bits/denoise_with_bits — the pair
+    StreamingDenoiser's boundary-consistent mode dispatches — not just
+    the fused __call__ (regression: the old shard() wrapped only _run,
+    so the split path silently ran unsharded)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from sos_tpu.parallel import make_mesh
+
+    cfg, det_vars, den_vars = tiny
+    n = min(4, len(jax.devices()))
+    mixed = jnp.asarray(
+        rng.standard_normal((n, 28000)).astype(np.float32) * 0.2)
+
+    pipe = FusedDenoisePipeline(cfg, det_vars, den_vars, clip_seconds=2.0)
+    ref_bits = pipe.detect_bits(mixed)
+    ref_out = pipe.denoise_with_bits(mixed, ref_bits)
+
+    mesh = make_mesh(num_devices=n)
+    sharded = FusedDenoisePipeline(cfg, det_vars, den_vars,
+                                   clip_seconds=2.0).shard(mesh)
+    with mesh:
+        bits = sharded.detect_bits(mixed)
+        out = sharded.denoise_with_bits(mixed, bits)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref_bits))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5)
+    # the committed inputs really are batch-sharded over the mesh
+    committed = sharded._commit(mixed)
+    assert committed.sharding.spec == P("data")
+
+
 def test_detector_bucketed_exact(tiny, rng):
     """Bucketed inference (one program per bucket) is numerically exact:
     identical bits and confidences vs per-length compilation."""

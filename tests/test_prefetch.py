@@ -194,3 +194,41 @@ def test_prefetch_close_joins_producer():
     assert in_item.wait(timeout=10)
     it.close()
     assert not it._thread.is_alive()
+
+
+def test_prefetch_cross_thread_close_releases_blocked_consumer():
+    """A consumer blocked in __next__ while ANOTHER thread calls close()
+    must be released (StopIteration), not stranded: close() drains the
+    queue and the producer exits without a sentinel, so close() itself
+    re-injects one after the join."""
+    import threading
+    import time
+
+    stall = threading.Event()
+
+    def src():
+        yield 1
+        stall.wait(10)  # released only AFTER close() has set _stop
+
+    p = Prefetcher(src(), depth=1)
+    released = threading.Event()
+
+    def consume():
+        assert next(p) == 1
+        try:
+            next(p)  # blocks: queue empty, producer stalled
+        except StopIteration:
+            pass
+        released.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.3)  # consumer is now blocked in q.get()
+    closer = threading.Thread(target=p.close, daemon=True)
+    closer.start()  # sets _stop first, then waits for the producer
+    time.sleep(0.2)
+    stall.set()  # producer resumes, sees _stop, exits WITHOUT a sentinel
+    closer.join(timeout=10)
+    assert not closer.is_alive()
+    assert released.wait(timeout=5), (
+        "consumer stayed blocked in __next__ after cross-thread close()")
