@@ -101,8 +101,8 @@ def main() -> None:
             # here so a wedged-tunnel failure still points at the
             # measured state (reproduction: docs/ROADMAP.md "two-stage").
             "last_recorded": {
-                "two_stage": 976.98, "int8": 1106.12, "bf16": 597.62,
-                "f32": 444.89, "vs_baseline": 1.954,
+                "two_stage": 979.54, "int8": 1105.88, "bf16": 598.24,
+                "f32": 444.72, "vs_baseline": 1.9591,
             },
         }), flush=True)
         os._exit(2)
