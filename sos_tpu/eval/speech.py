@@ -26,7 +26,6 @@ from typing import Tuple
 
 import numpy as np
 from scipy.interpolate import interp1d
-from scipy.linalg import toeplitz
 
 from sos_tpu.eval.stoi import stoi as _stoi
 
@@ -119,28 +118,32 @@ def _nearest_peaks(energy: np.ndarray, slope: np.ndarray) -> np.ndarray:
     """For each band, the energy at the nearest spectral peak.
 
     Positive slope at band i -> walk right while slope stays > 0 and take
-    the energy there; otherwise walk left while slope <= 0
-    (metrics.py:494-515). Vectorized per frame via run-boundary scans.
+    the energy one before the stop; otherwise walk left while slope <= 0
+    (metrics.py:494-515). The walks are run-boundary scans, so the whole
+    thing vectorizes: the rightward stop for band i is the FIRST band
+    n >= i with slope <= 0 (a suffix min-accumulate over stop indices),
+    the leftward stop is the LAST band n <= i with slope > 0 (a prefix
+    max-accumulate). Accepts (bands,) or batched (frames, bands) inputs;
+    tests/test_eval.py pins this against the literal while-loop oracle.
     """
-    num_crit = energy.shape[0]
-    out = np.empty(num_crit - 1)
-    for i in range(num_crit - 1):
-        if slope[i] > 0:
-            n = i
-            while n < num_crit - 1 and slope[n] > 0:
-                n += 1
-            out[i] = energy[n - 1] if n > 0 else energy[0]
-        else:
-            n = i
-            while n >= 0 and slope[n] <= 0:
-                n -= 1
-            out[i] = energy[n + 1]
-    return out
+    e = np.atleast_2d(energy)
+    s = np.atleast_2d(slope)
+    nb = s.shape[1]  # num_crit - 1
+    ar = np.arange(nb)
+    # rightward walk: n_final = min(first k >= i with slope[k] <= 0, nb)
+    cand = np.where(s <= 0, ar, nb)
+    nxt = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1]
+    out_pos = np.take_along_axis(e, np.maximum(nxt - 1, 0), axis=1)
+    # leftward walk: n_final = max(last k <= i with slope[k] > 0, -1)
+    prev = np.maximum.accumulate(np.where(s > 0, ar, -1), axis=1)
+    out_neg = np.take_along_axis(e, prev + 1, axis=1)
+    out = np.where(s > 0, out_pos, out_neg)
+    return out[0] if np.ndim(energy) == 1 else out
 
 
 def wss(clean: np.ndarray, deg: np.ndarray, srate: int,
         eps: float = 1e-10) -> np.ndarray:
-    """Per-frame WSS distortion (metrics.py:404-558)."""
+    """Per-frame WSS distortion (metrics.py:404-558), fully vectorized."""
     cf, df, winlength = _frame_pair(clean, deg, srate)
     n_fft = int(2 ** np.ceil(np.log2(2 * winlength)))
     n_fftby2 = n_fft // 2
@@ -152,20 +155,16 @@ def wss(clean: np.ndarray, deg: np.ndarray, srate: int,
     pe = 10 * np.log10(np.maximum(ps @ filters.T, eps))
 
     kmax, klocmax = 20.0, 1.0
-    num_frames = ce.shape[0]
-    out = np.empty(num_frames)
-    for fidx in range(num_frames):
-        c_slope = np.diff(ce[fidx])
-        p_slope = np.diff(pe[fidx])
-        c_peak = _nearest_peaks(ce[fidx], c_slope)
-        p_peak = _nearest_peaks(pe[fidx], p_slope)
-        w_clean = (kmax / (kmax + ce[fidx].max() - ce[fidx][:-1])) * \
-                  (klocmax / (klocmax + c_peak - ce[fidx][:-1]))
-        w_proc = (kmax / (kmax + pe[fidx].max() - pe[fidx][:-1])) * \
-                 (klocmax / (klocmax + p_peak - pe[fidx][:-1]))
-        w = (w_clean + w_proc) / 2
-        out[fidx] = np.sum(w * (c_slope - p_slope) ** 2) / np.sum(w)
-    return out
+    c_slope = np.diff(ce, axis=1)  # (N, 24)
+    p_slope = np.diff(pe, axis=1)
+    c_peak = _nearest_peaks(ce, c_slope)
+    p_peak = _nearest_peaks(pe, p_slope)
+    w_clean = (kmax / (kmax + ce.max(axis=1, keepdims=True) - ce[:, :-1])) * \
+              (klocmax / (klocmax + c_peak - ce[:, :-1]))
+    w_proc = (kmax / (kmax + pe.max(axis=1, keepdims=True) - pe[:, :-1])) * \
+             (klocmax / (klocmax + p_peak - pe[:, :-1]))
+    w = (w_clean + w_proc) / 2
+    return np.sum(w * (c_slope - p_slope) ** 2, axis=1) / np.sum(w, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -198,19 +197,32 @@ def _batched_lpc(frames: np.ndarray, order: int) -> Tuple[np.ndarray, np.ndarray
     return r, lp
 
 
+def _toeplitz_quad(a: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Batched a^T Toeplitz(r) a without materializing the matrices.
+
+    sum_{i,j} a_i a_j r[|i-j|] = r_0 * sum(a^2) + 2 * sum_{k>=1} r_k *
+    <a[:-k], a[k:]> — i.e. the quadratic form is the autocorrelation of
+    `a` dotted with `r` (lag 0 weighted once, others twice)."""
+    n, m = a.shape
+    s = np.empty((n, m))
+    for k in range(m):
+        s[:, k] = np.sum(a[:, : m - k] * a[:, k:], axis=1)
+    w = np.full(m, 2.0)
+    w[0] = 1.0
+    return np.sum(r * s * w, axis=1)
+
+
 def llr(clean: np.ndarray, deg: np.ndarray, srate: int) -> np.ndarray:
-    """Per-frame LLR distances (metrics.py:561-623)."""
+    """Per-frame LLR distances (metrics.py:561-623), fully batched:
+    Levinson-Durbin across frames + lag-space Toeplitz quadratic forms."""
     order = 10 if srate < 10000 else 16
     cf, df, _ = _frame_pair(clean, deg, srate)
     r_clean, a_clean = _batched_lpc(cf, order)
     _, a_proc = _batched_lpc(df, order)
-    out = np.empty(cf.shape[0])
-    for i in range(cf.shape[0]):
-        t = toeplitz(r_clean[i])
-        num = a_proc[i] @ t @ a_proc[i]
-        den = a_clean[i] @ t @ a_clean[i]
-        out[i] = np.log(num / den)
-    return out
+    num = _toeplitz_quad(a_proc, r_clean)
+    den = _toeplitz_quad(a_clean, r_clean)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.log(num / den)
 
 
 # ---------------------------------------------------------------------------

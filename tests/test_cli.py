@@ -558,3 +558,47 @@ def test_serve_sigterm_answers_line_already_read():
     oks = [ln.split()[1] for ln in emitted if ln.startswith("OK ")]
     assert oks == ["out_a.wav", "out_b.wav"]
     assert emitted[-1] == "BYE"
+
+
+def test_cli_calibrate_offline(cli_env, monkeypatch, tmp_path):
+    """`python -m sos_tpu calibrate` derives int8 scales from a corpus
+    offline and writes the exact schema the serving pipeline loads, so
+    serving numerics no longer depend on which batch arrives first."""
+    from sos_tpu.cli import calibrate
+    from sos_tpu.infer.fused import FusedDenoisePipeline
+    from sos_tpu.train.checkpoints import CheckpointManager
+    from sos_tpu.train.loop import init_denoiser_state, init_detector_state
+    from sos_tpu.train.state import TrainClock
+
+    cfg = _tiny_cfg()
+    out_root = str(tmp_path / "model_output")
+    cfg = dataclasses.replace(cfg, output_root=out_root, name="cal")
+    for stage, init in (("detector", init_detector_state),
+                        ("denoiser", init_denoiser_state)):
+        _, state = init(cfg, steps_per_epoch=1)
+        CheckpointManager(os.path.join(
+            out_root, f"cal_{stage}", "model")).save(
+                state, TrainClock(), "latest")
+    cfg_path = tmp_path / "cal_config.json"
+    cfg_path.write_text(cfg.to_json())
+
+    out = str(tmp_path / "scales.json")
+    _run(calibrate.main,
+         ["--input_dir", cli_env["audio_dir"], "--out", out,
+          "--output_root", out_root, "--config_json", str(cfg_path),
+          "--name", "cal", "--batch", "2", "--max_clips", "4",
+          "--clip_seconds", "2.0"], monkeypatch)
+    with open(out) as fp:
+        state = json.load(fp)
+    assert set(state) == {"denoiser", "detector"}
+    assert state["denoiser"]["enc_x"] and state["detector"]["conv"]
+
+    # the serving pipeline loads these scales verbatim (no self-calibration)
+    _, state_det = init_detector_state(cfg, steps_per_epoch=1)
+    _, state_den = init_denoiser_state(cfg, steps_per_epoch=1)
+    pipe = FusedDenoisePipeline(
+        cfg, state_det.variables(), state_den.variables(),
+        profile="int8", calibration_path=out)
+    assert pipe.ensure_calibrated()
+    got = pipe._quant.calibration_state()
+    assert got == state["denoiser"]

@@ -208,3 +208,38 @@ def test_llr_matches_scipy_lpc_oracle(rng):
         start += skip
     got = llr(clean, deg, srate)
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6, atol=1e-8)
+
+
+def test_nearest_peaks_matches_while_loop_oracle(rng):
+    """Vectorized run-boundary-scan peak walk == the literal while-loop
+    translation of the reference (metrics.py:494-515), across random
+    band-energy profiles including flat runs and all-monotone edges."""
+    from sos_tpu.eval.speech import _nearest_peaks
+
+    def oracle(energy, slope):
+        num_crit = energy.shape[0]
+        out = np.empty(num_crit - 1)
+        for i in range(num_crit - 1):
+            if slope[i] > 0:
+                n = i
+                while n < num_crit - 1 and slope[n] > 0:
+                    n += 1
+                out[i] = energy[n - 1] if n > 0 else energy[0]
+            else:
+                n = i
+                while n >= 0 and slope[n] <= 0:
+                    n -= 1
+                out[i] = energy[n + 1]
+        return out
+
+    cases = [rng.standard_normal(25) * 10 for _ in range(50)]
+    cases += [np.arange(25.0), -np.arange(25.0), np.zeros(25)]
+    cases += [np.repeat(rng.standard_normal(5), 5) for _ in range(5)]
+    for e in cases:
+        s = np.diff(e)
+        np.testing.assert_array_equal(_nearest_peaks(e, s), oracle(e, s))
+    # batched call == per-row calls
+    batch = np.stack(cases)
+    got = _nearest_peaks(batch, np.diff(batch, axis=1))
+    for row, e in enumerate(cases):
+        np.testing.assert_array_equal(got[row], oracle(e, np.diff(e)))
