@@ -38,6 +38,26 @@ METRIC_KEYS = ("avg_l1", "avg_stoi", "avg_csig", "avg_cbak", "avg_covl",
 _C_TRAIN = "#4477AA"
 _C_VAL = "#EE6677"
 
+# metrics whose values depend on the P.862 backend (csig/cbak/covl are
+# MOS regressions over the raw PESQ score, reference metrics.py:346-401)
+_PESQ_DERIVED = ("avg_pesq", "avg_csig", "avg_cbak", "avg_covl")
+
+
+def _pesq_caveat(keys) -> str:
+    """Non-empty when PESQ-derived columns were produced by the native
+    (non-certified) backend — every report that shows them must say so."""
+    if not any(k in _PESQ_DERIVED for k in keys):
+        return ""
+    from sos_tpu.eval.speech import pesq_backend
+
+    if pesq_backend() != "native":
+        return ""
+    return ("pesq (and csig/cbak/covl, which regress on it) computed by "
+            "the native P.862 implementation — reconstructed Bark-band "
+            "tables, NOT certified ITU-conformant; comparable within "
+            "this tool, quantify vs a conformant backend with "
+            "`python -m sos_tpu.eval.pesq_conformance` (docs/PARITY.md)")
+
 
 def collect(results_dir: str) -> "OrderedDict[float, dict]":
     out = {}
@@ -308,6 +328,9 @@ def html_report(out_path, snr_table=None, train_rows=None, compare=None,
         fig = snr_figure(snr_table, keys)
         parts.append(f'<img alt="metric-vs-SNR curves" '
                      f'src="data:image/png;base64,{_fig_b64(fig)}">')
+        caveat = _pesq_caveat(keys)
+        if caveat:
+            parts.append(f"<p class='meta'>&#9888; {e(caveat)}</p>")
 
     if train_rows:
         by_kind, best = train_summary(train_rows)
@@ -396,6 +419,9 @@ def main() -> None:
             for snr, stats in table.items():
                 print(f"{snr:+.0f} " + " ".join(
                     f"{stats.get(k, float('nan')):.4f}" for k in keys))
+            caveat = _pesq_caveat(keys)
+            if caveat:
+                print(f"note: {caveat}")
             if args.plot:
                 snr_figure(table, keys).savefig(args.plot, dpi=120)
                 print(f"wrote {args.plot}")

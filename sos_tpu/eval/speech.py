@@ -230,6 +230,22 @@ def llr(clean: np.ndarray, deg: np.ndarray, srate: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def pesq_backend() -> str:
+    """Which P.862 backend `pesq_score` will use: "pypesq"/"pesq"
+    (conformant C extensions) or "native" (sos_tpu/eval/pesq.py, whose
+    Bark-band tables are reconstructed — NOT certified conformant;
+    report tools footnote PESQ-derived numbers when this is "native",
+    and `python -m sos_tpu.eval.pesq_conformance` quantifies the delta
+    once a conformant backend is importable)."""
+    for mod, name in (("pypesq", "pypesq"), ("pesq", "pesq")):
+        try:
+            __import__(mod)
+            return name
+        except ImportError:
+            continue
+    return "native"
+
+
 def pesq_score(clean: np.ndarray, deg: np.ndarray, srate: int) -> float:
     """P.862 narrowband score (reference metrics.py:341-343 via pypesq).
 

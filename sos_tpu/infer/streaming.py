@@ -280,3 +280,173 @@ class StreamingDenoiser:
             bits[i - 1, np.nonzero(ok)[0]] = bits[i, next_idx[ok]]
         return bits
 
+
+class StreamingSession:
+    """TRUE incremental streaming: push audio in, pull finalized audio out.
+
+    `StreamingDenoiser.denoise` needs the whole waveform up front; this
+    session consumes arbitrary-size sample pushes and emits denoised
+    audio as soon as every chunk covering it is final, with bounded
+    memory (carried context is O(chunk)) and bounded latency.
+
+    Equality contract (pinned by tests/test_infer.py): the concatenation
+    of every `push()` return plus `flush()` equals
+    `StreamingDenoiser.denoise(full_waveform)` on the same audio to
+    within float32 rounding (measured max 5e-7: the session dispatches
+    chunks at width 1 while the offline path batches them into
+    power-of-2 buckets, which perturbs XLA reductions at the ulp level;
+    single-chunk streams delegate to the identical offline call and
+    match bitwise). The session replays the offline path's exact
+    chunking, two-way bit reconciliation and crossfade arithmetic
+    incrementally:
+
+    * a chunk is detected once its full window has been pushed;
+    * detecting chunk k finalizes chunk k-1's bits (the offline
+      reconciliation is strictly pairwise — guaranteed by the
+      2*overlap <= valid invariant — and chunk k-1's trailing-half
+      adoption is the only edit that waits on chunk k);
+    * chunk k-1 is then denoised and crossfaded into the carry
+      accumulator, finalizing all samples before k*stride (every
+      sample is covered by at most two chunks, and float addition of
+      two terms is order-independent, so the incremental accumulation
+      is bitwise the offline one);
+    * `flush()` zero-pads and processes the tail chunks exactly like
+      the offline layout (single-chunk utterances take the offline
+      one-dispatch fused path verbatim).
+
+    Worst-case latency: a pushed sample is emitted after at most
+    `chunk + 2*stride` further samples arrive (or at flush) — 5 s of
+    audio at the nominal 2 s chunk / 0.5 s overlap geometry.
+    """
+
+    def __init__(self, denoiser: StreamingDenoiser):
+        self.d = denoiser
+        self.chunk = denoiser.chunk
+        self.stride = denoiser.stride
+        self.valid = denoiser.valid
+        self._w = denoiser._weights()
+        self._buf = np.zeros(0, dtype=np.float32)  # samples >= _base
+        self._base = 0            # absolute index of _buf[0]
+        self._n = 0               # total samples pushed
+        self._pending_bits = []   # raw bits, chunks [_next_den.._next_det)
+        self._next_det = 0        # next chunk index to detect
+        self._next_den = 0        # next chunk index to denoise
+        self._acc = np.zeros(0, dtype=np.float32)   # crossfade carry
+        self._wsum = np.zeros(0, dtype=np.float32)  # from _emit onward
+        self._emit = 0            # absolute index of next sample to emit
+        self._finished = False
+
+    # -- internal ----------------------------------------------------------
+
+    def _chunk_wave(self, k: int) -> np.ndarray:
+        s = k * self.stride - self._base
+        seg = self._buf[s: s + self.chunk]
+        if len(seg) < self.chunk:  # flush-time tail: zero-pad
+            seg = np.concatenate(
+                [seg, np.zeros(self.chunk - len(seg), np.float32)])
+        return seg
+
+    def _detect(self, k: int) -> None:
+        bits = self.d._batched(self.d.pipeline.detect_bits,
+                               [self._chunk_wave(k)[None]])
+        self._pending_bits.append(np.asarray(bits[0], np.float32))
+        self._next_det = k + 1
+        if k > 0:
+            # pairwise reconcile (k-1, k): finalizes k-1's bits, edits
+            # k's leading half — same rule/order as reconcile_bits
+            i = k - self._next_den  # local index of chunk k
+            pair = np.stack([self._pending_bits[i - 1],
+                             self._pending_bits[i]])
+            pair = self.d.reconcile_bits(
+                pair, [(k - 1) * self.stride, k * self.stride])
+            self._pending_bits[i - 1] = pair[0]
+            self._pending_bits[i] = pair[1]
+
+    def _denoise_next(self) -> None:
+        """Denoise chunk _next_den (bits final) into the carry."""
+        k = self._next_den
+        wave = self._chunk_wave(k)
+        if self.d.consistent_boundaries:
+            out = self.d._batched(
+                self.d.pipeline.denoise_with_bits,
+                [wave[None], self._pending_bits[0][None]])[0]
+        else:
+            out = self.d._one_pass(wave[None])[0]
+        self._pending_bits.pop(0)
+        self._next_den = k + 1
+        # grow the carry to cover [emit_abs, k*stride + valid)
+        start = k * self.stride
+        end = start + self.valid
+        acc_abs = self._emit
+        need = end - acc_abs
+        if len(self._acc) < need:
+            pad = need - len(self._acc)
+            self._acc = np.concatenate([self._acc,
+                                        np.zeros(pad, np.float32)])
+            self._wsum = np.concatenate([self._wsum,
+                                         np.zeros(pad, np.float32)])
+        lo = start - acc_abs
+        self._acc[lo: lo + self.valid] += np.asarray(out,
+                                                     np.float32) * self._w
+        self._wsum[lo: lo + self.valid] += self._w
+        # drop consumed input samples: chunk k+1 starts at (k+1)*stride
+        new_base = (k + 1) * self.stride
+        if new_base > self._base:
+            self._buf = self._buf[new_base - self._base:]
+            self._base = new_base
+
+    def _take(self, upto_abs: int) -> np.ndarray:
+        """Normalize + emit carry samples in [_emit, upto_abs)."""
+        m = upto_abs - self._emit
+        if m <= 0:
+            return np.zeros(0, np.float32)
+        out = self._acc[:m].copy()
+        ws = self._wsum[:m]
+        nz = ws > 1e-8
+        out[nz] /= ws[nz]
+        self._acc = self._acc[m:]
+        self._wsum = self._wsum[m:]
+        self._emit = upto_abs
+        return out
+
+    # -- public ------------------------------------------------------------
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed more audio; returns newly FINAL denoised samples
+        (possibly empty). Concatenated pushes+flush == offline denoise."""
+        assert not self._finished, "push() after flush()"
+        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, samples])
+        self._n += len(samples)
+        # detect every chunk whose full window is in; denoise each
+        # chunk whose bits are final (detected + reconciled with its
+        # successor). The single-chunk offline fast path means nothing
+        # can be emitted until the stream provably has >= 2 chunks.
+        while self._next_det * self.stride + self.chunk <= self._n:
+            self._detect(self._next_det)
+            if self._next_det >= 2:  # chunk _next_det-2's bits are final
+                self._denoise_next()
+        if self._next_den == 0:
+            return np.zeros(0, np.float32)
+        return self._take(self._next_den * self.stride)
+
+    def flush(self) -> np.ndarray:
+        """End of stream: process tail chunks, return remaining audio.
+        Total emitted across the session == len(pushed audio) (offline
+        length contract; a single-chunk stream returns min(n, valid))."""
+        assert not self._finished, "flush() twice"
+        self._finished = True
+        n = self._n
+        if n == 0:
+            return np.zeros(0, np.float32)
+        if n <= self.chunk and self._next_den == 0 and self._next_det <= 1:
+            # offline single-chunk layout: one fused dispatch, no
+            # crossfade (denoise_many's all_single fast path)
+            return self.d.denoise(self._buf[-n:] if self._base == 0
+                                  else self._buf)
+        # remaining chunk starts: every k*stride < n (offline layout)
+        while self._next_det * self.stride < n:
+            self._detect(self._next_det)
+        while self._next_den < self._next_det:
+            self._denoise_next()
+        return self._take(n)

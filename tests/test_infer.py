@@ -480,3 +480,62 @@ def test_streaming_int8_profile_end_to_end(tiny, rng, tmp_path):
                            overlap_seconds=0.5, batch_chunks=4,
                            profile="int8", calibration_path=calib)
     np.testing.assert_allclose(q2.denoise(wav), out_q, atol=1e-6)
+
+
+def test_streaming_session_push_equals_offline(tiny, rng):
+    """Incremental push/flush == offline denoise() on the same audio,
+    across geometries and irregular push sizes; emitted sample count
+    respects the documented latency bound."""
+    from sos_tpu.infer.streaming import StreamingSession
+
+    cfg, det_vars, den_vars = tiny
+    for seconds, chunk_s, ov_s in ((7.3, 2.0, 0.5), (4.0, 2.0, 0.0),
+                                   (5.1, 1.0, 0.25)):
+        stream = StreamingDenoiser(cfg, det_vars, den_vars,
+                                   chunk_seconds=chunk_s,
+                                   overlap_seconds=ov_s)
+        n = int(seconds * cfg.data.sample_rate)
+        wav = (rng.standard_normal(n) * 0.2).astype(np.float32)
+        want = stream.denoise(wav)
+
+        sess = StreamingSession(stream)
+        outs, pos = [], 0
+        push_rng = np.random.default_rng(42)
+        while pos < n:
+            step = int(push_rng.integers(1000, 9000))
+            outs.append(sess.push(wav[pos:pos + step]))
+            pos = min(pos + step, n)
+            emitted = sum(len(o) for o in outs)
+            lag = pos - emitted
+            assert lag <= stream.chunk + 2 * stream.stride
+        outs.append(sess.flush())
+        got = np.concatenate(outs)
+        # same chunking/reconciliation/crossfade arithmetic; the only
+        # difference is device dispatch width (offline batches chunks in
+        # power-of-2 buckets, the session dispatches width-1), which
+        # perturbs XLA reductions at the ulp level (measured max 5e-7)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=0)
+
+
+def test_streaming_session_single_chunk_and_empty(tiny, rng):
+    """A stream that fits one chunk takes the offline single-chunk path
+    (min(n, valid) samples); an empty stream flushes to empty."""
+    from sos_tpu.infer.streaming import StreamingSession
+
+    cfg, det_vars, den_vars = tiny
+    stream = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                               overlap_seconds=0.5)
+    n = 20000  # < chunk (28000)
+    wav = (rng.standard_normal(n) * 0.2).astype(np.float32)
+    want = stream.denoise(wav)
+    sess = StreamingSession(stream)
+    a = sess.push(wav[:9000])
+    b = sess.push(wav[9000:])
+    assert len(a) == len(b) == 0  # nothing final before flush
+    got = np.concatenate([a, b, sess.flush()])
+    # single-chunk flush delegates to the identical offline call
+    np.testing.assert_array_equal(got, want)
+
+    sess2 = StreamingSession(stream)
+    assert len(sess2.flush()) == 0
