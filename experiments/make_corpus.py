@@ -57,23 +57,55 @@ def make_clip(rng: np.random.Generator, seconds: float) -> np.ndarray:
     return y / peak * 0.7 if peak > 0 else y
 
 
+NOISE_KINDS = ("pink", "tones", "babble", "white", "hum", "clicks")
+
+
 def make_noise_track(rng: np.random.Generator, seconds: float,
                      kind: str) -> np.ndarray:
+    """Six noise families (r4: diversity beyond pink+tones — babble-like
+    competing speech, broadband white, AM machine hum, impulsive
+    clicks), so detection/denoising stats aren't fit to one spectrum."""
+    from scipy.signal import lfilter
+
     n = int(seconds * SR)
+    tt = np.arange(n) / SR
     if kind == "pink":
-        white = rng.standard_normal(n).astype(np.float32)
-        out = np.empty(n, np.float32)
-        acc = 0.0
-        a = 0.92  # leaky integrator: ~1/f-ish spectrum
-        for i in range(n):
-            acc = a * acc + (1 - a) * white[i]
-            out[i] = acc + 0.25 * white[i]
-    else:  # band tones
-        tt = np.arange(n) / SR
+        white = rng.standard_normal(n)
+        # leaky integrator (~1/f-ish) + white floor, vectorized
+        out = lfilter([1 - 0.92], [1, -0.92], white) + 0.25 * white
+    elif kind == "tones":
         out = sum(np.sin(2 * np.pi * rng.uniform(300, 3000) * tt
                          + rng.uniform(0, 2 * np.pi))
                   * rng.uniform(0.2, 0.5) for _ in range(4))
-        out = out.astype(np.float32)
+    elif kind == "babble":
+        # overlapping speech-like bursts from several "talkers" — the
+        # hardest case for a silence detector (noise resembles speech)
+        out = np.zeros(n)
+        for _ in range(5):
+            out += make_clip(rng, seconds).astype(np.float64) \
+                * rng.uniform(0.4, 1.0)
+    elif kind == "white":
+        out = rng.standard_normal(n)
+    elif kind == "hum":
+        # mains-like hum + harmonics with slow AM (machine noise)
+        base = rng.uniform(45, 120)
+        out = sum(np.sin(2 * np.pi * base * h * tt
+                         + rng.uniform(0, 2 * np.pi)) / h
+                  for h in range(1, 7))
+        out *= 1.0 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.3, 2.0) * tt)
+    elif kind == "clicks":
+        # impulsive: exponentially-decaying broadband clicks on a low
+        # noise floor
+        out = 0.05 * rng.standard_normal(n)
+        for _ in range(int(seconds * 3)):
+            p = int(rng.uniform(0, n - SR // 10))
+            dur = int(rng.uniform(0.01, 0.06) * SR)
+            out[p:p + dur] += rng.standard_normal(dur) \
+                * np.exp(-np.arange(dur) / (0.01 * SR)) \
+                * rng.uniform(0.5, 1.5)
+    else:
+        raise ValueError(kind)
+    out = np.asarray(out, np.float32)
     return out / np.abs(out).max() * 0.5
 
 
@@ -109,7 +141,7 @@ def main() -> None:
     nd = os.path.join(args.out, "noise")
     os.makedirs(nd, exist_ok=True)
     for i in range(args.noise_tracks):
-        kind = "pink" if i % 2 == 0 else "tones"
+        kind = NOISE_KINDS[i % len(NOISE_KINDS)]
         audio_io.write_wav(os.path.join(nd, f"noise_{i:02d}_{kind}.wav"),
                            make_noise_track(rng, 20.0, kind), SR)
 

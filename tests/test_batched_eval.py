@@ -73,6 +73,7 @@ def corpus(tmp_path_factory):
     return {"root": root, "ds_json": ds_json, "noise_dir": str(noise_dir)}
 
 
+@pytest.mark.slow
 def test_detector_eval_batched_equals_serial(corpus, tmp_path):
     cfg = _cfg()
     model = SilenceDetector(cfg.detector)
@@ -101,6 +102,7 @@ def test_detector_eval_batched_equals_serial(corpus, tmp_path):
         np.testing.assert_allclose(ca, cb, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_denoiser_batch_equals_loop():
     cfg = _cfg()
     model = JointDenoiser(cfg.denoiser)
@@ -133,6 +135,7 @@ def test_detector_batch_no_buckets_falls_back():
     np.testing.assert_allclose(conf, c2, atol=0)
 
 
+@pytest.mark.slow
 def test_synthetic_eval_noisy_baseline():
     """noisy_baseline=True adds noisy_avg_* keys scoring mixed vs clean;
     at high SNR the noisy overall_snr must far exceed a random model's

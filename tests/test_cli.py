@@ -146,6 +146,7 @@ def test_cli_full_flow(cli_env, monkeypatch):
             None, out_json3, str(root / "nowhere"))
 
 
+@pytest.mark.slow
 def test_cli_one_shot_denoise(cli_env, monkeypatch):
     """The single-command wav->wav tool runs on trained tiny checkpoints."""
     root = cli_env["root"]
@@ -165,6 +166,7 @@ def test_cli_one_shot_denoise(cli_env, monkeypatch):
     assert sr == 14000 and len(y) > 0 and np.isfinite(y).all()
 
 
+@pytest.mark.slow
 def test_cli_eval_synthetic(cli_env, monkeypatch, capsys):
     """Batched per-SNR quality evaluation runs on the trained tiny model."""
     root = cli_env["root"]
@@ -225,6 +227,7 @@ def test_cli_import_checkpoint(cli_env, monkeypatch, tmp_path):
     assert os.path.exists(os.path.join(pred_out, "eval_results.json"))
 
 
+@pytest.mark.slow
 def test_cli_serve_protocol(cli_env):
     """Drive the long-lived serve loop over stdin: PING, two denoise
     requests (pipeline stays warm), an error, QUIT."""
@@ -412,6 +415,7 @@ def test_report_html_dashboard(tmp_path, monkeypatch, capsys):
     assert "Profile comparison" in html and "-0.0100" in html
 
 
+@pytest.mark.slow
 def test_cli_batch_denoise_dir(cli_env, monkeypatch):
     """--input_dir/--output_dir denoises every wav in one invocation,
     matching the single-file tool's output per file."""
@@ -560,6 +564,7 @@ def test_serve_sigterm_answers_line_already_read():
     assert emitted[-1] == "BYE"
 
 
+@pytest.mark.slow
 def test_cli_calibrate_offline(cli_env, monkeypatch, tmp_path):
     """`python -m sos_tpu calibrate` derives int8 scales from a corpus
     offline and writes the exact schema the serving pipeline loads, so

@@ -64,6 +64,7 @@ def test_export_int8_requires_calibration(env, tmp_path):
                                batch=2, profile="int8", platforms=("cpu",))
 
 
+@pytest.mark.slow
 def test_export_int8_with_calibration(env, tmp_path):
     cfg, dv, nv, mixed = env
     calib = str(tmp_path / "calib.json")

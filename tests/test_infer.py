@@ -93,6 +93,7 @@ def test_streaming_long_form(tiny, rng):
     assert np.abs(out[14000:14000 * (seconds - 1)]).mean() > 0
 
 
+@pytest.mark.slow
 def test_streaming_consistent_interior(tiny, rng):
     """A chunk-interior region should roughly match single-shot denoising."""
     cfg, det_vars, den_vars = tiny
@@ -127,6 +128,7 @@ def test_fused_pipeline_sharded_over_mesh(tiny, rng):
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref_bits))
 
 
+@pytest.mark.slow
 def test_split_entries_sharded_over_mesh(tiny, rng):
     """shard() must also cover detect_bits/denoise_with_bits — the pair
     StreamingDenoiser's boundary-consistent mode dispatches — not just
@@ -176,6 +178,7 @@ def test_detector_bucketed_exact(tiny, rng):
     assert n_bucketed <= 2
 
 
+@pytest.mark.slow
 def test_denoiser_bucketed_exact(tiny, rng):
     """Bucketed full-utterance denoising == per-length compilation exactly
     (valid-aware reflection pads, masked BiLSTM, masked-envelope iSTFT)."""
@@ -277,6 +280,7 @@ def test_detector_predictor_int8_bucketed_exact(tiny, rng):
         np.testing.assert_array_equal(bits_b, bits_e)
 
 
+@pytest.mark.slow
 def test_denoiser_predictor_int8_bucketed_exact(tiny, rng):
     """--profile int8 full-utterance denoising: bucketed == per-length
     within the profile."""
@@ -294,6 +298,7 @@ def test_denoiser_predictor_int8_bucketed_exact(tiny, rng):
                                        err_msg=f"{key}@{length}")
 
 
+@pytest.mark.slow
 def test_denoiser_predictor_profiles_close_to_f32(tiny, rng):
     """bf16/int8 driver outputs stay within the certified drift budgets
     of the f32 driver on the same utterance."""
@@ -309,6 +314,7 @@ def test_denoiser_predictor_profiles_close_to_f32(tiny, rng):
         assert np.isfinite(got["denoised"]).all()
 
 
+@pytest.mark.slow
 def test_denoise_many_matches_per_utterance(tiny, rng):
     """Cross-request chunk batching returns exactly what per-utterance
     denoise() returns, for mixed lengths and both boundary modes."""
@@ -350,6 +356,7 @@ def test_batched_pads_to_pow2_bucket_not_full_width(tiny, rng):
         assert widths == (want if isinstance(want, list) else [want])
 
 
+@pytest.mark.slow
 def test_warmup_precompiles_buckets_and_denoise_still_exact(tiny, rng):
     """warmup() compiles every pow2 bucket width and changes nothing
     about subsequent results; the int8 profile without calibration
@@ -420,6 +427,7 @@ def test_streaming_zero_overlap_and_bad_overlap(tiny, rng):
                           overlap_seconds=1.999)
 
 
+@pytest.mark.slow
 def test_warmup_includes_non_pow2_full_width(tiny):
     cfg, det_vars, den_vars = tiny
     s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
@@ -427,6 +435,7 @@ def test_warmup_includes_non_pow2_full_width(tiny):
     assert s.warmup() == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_streaming_length_contract_geometry_sweep(tiny, rng):
     """Output-length contract across lengths straddling every boundary:
     a single-chunk utterance yields min(n, valid) samples (the iSTFT's
@@ -452,6 +461,7 @@ def test_streaming_length_contract_geometry_sweep(tiny, rng):
             assert np.isfinite(out).all(), (consistent, n)
 
 
+@pytest.mark.slow
 def test_streaming_int8_profile_end_to_end(tiny, rng, tmp_path):
     """StreamingDenoiser under the int8 serving profile: self-calibrates,
     persists the scale file, stays close to the f32 stream on identical
@@ -482,6 +492,7 @@ def test_streaming_int8_profile_end_to_end(tiny, rng, tmp_path):
     np.testing.assert_allclose(q2.denoise(wav), out_q, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_streaming_session_push_equals_offline(tiny, rng):
     """Incremental push/flush == offline denoise() on the same audio,
     across geometries and irregular push sizes; emitted sample count

@@ -102,6 +102,7 @@ def test_strip_data_parallel():
     assert "encoder_audio.0.block.0.weight" in out and "plain" in out
 
 
+@pytest.mark.slow
 def test_full_size_shapes():
     """Full-config shape smoke test (no torch; init only on tiny batch)."""
     import jax

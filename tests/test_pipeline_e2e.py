@@ -31,6 +31,8 @@ from sos_tpu.infer.evaluate import (
     evaluate_detector,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def tiny_cfg():
     return ExperimentConfig(

@@ -74,6 +74,7 @@ def test_quantize_weight_bounds(rng):
     assert np.all(np.abs(recon - k) <= s[None, None, None, :] * 0.5 + 1e-7)
 
 
+@pytest.mark.slow
 def test_packed_entry_matches_nhwc(setup):
     cfg, model, v, x, y = setup
     q = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")
@@ -117,6 +118,7 @@ def test_calibrate_required(setup):
         q(x, y)
 
 
+@pytest.mark.slow
 def test_bf16_inpaint_mode(setup):
     """inpaint_dtype='bfloat16' keeps InpaintNet float while the trunks
     quantize — the intermediate profile."""
@@ -154,6 +156,7 @@ def test_quantized_detector_drift_and_packed(setup):
     np.testing.assert_array_equal(gp, got)
 
 
+@pytest.mark.slow
 def test_fused_pipeline_int8_profile(setup):
     """End-to-end int8 fused pipeline (quant detector + quant denoiser)
     produces finite audio + bits close to the f32 pipeline's."""
@@ -183,6 +186,7 @@ def test_fused_pipeline_int8_profile(setup):
     assert np.mean(np.asarray(bits_f) != np.asarray(bits_q)) <= 0.05
 
 
+@pytest.mark.slow
 def test_odd_time_length_drift(setup):
     """Odd T (no bucket padding) keeps the quantized drift bound."""
     cfg = DenoiserModelConfig(
@@ -390,6 +394,7 @@ def test_calibration_rejected_file_restores_scales(setup, tmp_path):
     assert not p2._quant_det._calibrated
 
 
+@pytest.mark.slow
 def test_quantized_valid_t_bucketed_exact(setup):
     """The int8 pipeline's length-bucketed path (valid_t) matches the
     fixed-shape int8 program on the valid region: the padded tail +
@@ -414,6 +419,7 @@ def test_quantized_valid_t_bucketed_exact(setup):
                                np.asarray(ref_crm), atol=3e-5)
 
 
+@pytest.mark.slow
 def test_quantized_detector_valid_t_bucketed_exact(setup):
     """QuantizedDetector's valid_t path == its fixed-shape path on the
     valid region (bits identical, confidences to fp tolerance)."""

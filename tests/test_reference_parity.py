@@ -36,6 +36,8 @@ from sos_tpu.models.torch_import import (
 
 from tests.torch_oracles import randomize_bn_stats
 
+pytestmark = pytest.mark.slow
+
 M1_NETWORKS = ("/root/reference/model_1_silent_interval_detection/"
                "audioonly_model/networks.py")
 M2_NETWORKS = ("/root/reference/model_2_audio_denoising/"

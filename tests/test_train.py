@@ -71,6 +71,7 @@ def _denoiser_batch(cfg, b, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_detector_train_step_learns():
     cfg = tiny_detector_cfg()
     model, state = init_detector_state(cfg, steps_per_epoch=5)
@@ -88,6 +89,7 @@ def test_detector_train_step_learns():
     assert 0.0 <= float(out["accuracy"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_denoiser_train_step_learns():
     cfg = tiny_denoiser_cfg()
     model, state = init_denoiser_state(cfg, steps_per_epoch=5)
@@ -126,6 +128,7 @@ def test_detector_step_sharded_over_mesh():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_denoiser_multistep_loss_decreases_sharded():
     """Multi-step SPMD training under the 8-device mesh: optimizer + BN
     stats update across steps and the loss decreases (VERDICT r1 Weak #5 —
@@ -157,6 +160,7 @@ def test_lr_schedule_steplr():
     assert float(sched(300)) == pytest.approx(1e-5)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     from sos_tpu.train.checkpoints import CheckpointManager
 
@@ -178,6 +182,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+@pytest.mark.slow
 def test_joint_train_step():
     """Joint detector+denoiser step (BASELINE config[3]) learns both losses."""
     import dataclasses
@@ -202,6 +207,7 @@ def test_joint_train_step():
     assert losses[-1][1] < losses[0][1]
 
 
+@pytest.mark.slow
 def test_joint_step_sharded():
     import dataclasses
 
@@ -255,6 +261,7 @@ class _EmptyBatcher(_FakeBatcher):
         return iter(())
 
 
+@pytest.mark.slow
 def test_midepoch_resume_exact(tmp_path):
     """A mid-epoch checkpoint (save_step_frequency) resumes bit-for-bit:
     full run == 2 manual steps + resumed fit() on the same batch order."""
@@ -311,6 +318,7 @@ def test_midepoch_resume_exact(tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_metrics_jsonl_and_report(tmp_path, capsys):
     """fit() writes the durable metrics.jsonl; the report CLI parses and
     plots it."""
@@ -342,6 +350,7 @@ def test_metrics_jsonl_and_report(tmp_path, capsys):
     assert os.path.getsize(plot) > 0
 
 
+@pytest.mark.slow
 def test_nonfinite_gradient_guard():
     """A NaN batch must not poison params/opt-state/BN stats; the step's
     `finite` metric records the skip; the next good batch updates."""
@@ -373,6 +382,7 @@ def test_nonfinite_gradient_guard():
     assert changed
 
 
+@pytest.mark.slow
 def test_lr_metric_tracks_optimizer_schedule_count():
     """The logged lr must index the staircase with the optimizer's OWN
     schedule count — guarded_update reverts the count on a skipped
@@ -404,6 +414,7 @@ def test_lr_metric_tracks_optimizer_schedule_count():
     assert float(sched(1)) != pytest.approx(float(sched(2)))  # boundary real
 
 
+@pytest.mark.slow
 def test_sigterm_preemption_saves_resumable_latest(tmp_path):
     """SIGTERM mid-training saves `latest` at a step boundary and exits
     cleanly; a `--continue` resume picks up from that exact position
@@ -538,6 +549,7 @@ def test_clock_best_metric_roundtrip_atomic_sidecar(tmp_path):
                                  "step": 4}).best_metric == float("-inf")
 
 
+@pytest.mark.slow
 def test_resume_does_not_clobber_best_acc(tmp_path):
     """A --continue resume whose pre-preemption best_metric beats anything
     the resumed epochs can reach must NOT overwrite the best_acc snapshot
@@ -603,6 +615,7 @@ def test_resume_does_not_clobber_best_acc(tmp_path):
     assert fresh["best_metric"] <= 1.0 and fresh["step"] != 99
 
 
+@pytest.mark.slow
 def test_fit_closes_prefetcher_on_step_exception(tmp_path):
     """A train_step that raises mid-epoch must not leak the prefetch
     producer thread (fit closes the prefetcher on every loop exit)."""
@@ -635,6 +648,7 @@ def test_fit_closes_prefetcher_on_step_exception(tmp_path):
     assert threading.active_count() <= before
 
 
+@pytest.mark.slow
 def test_joint_multistep_loss_decreases_sharded():
     """Multi-step SPMD joint training (BASELINE config[3]) under the
     virtual mesh: both stages' optimizers and BN stats update across
