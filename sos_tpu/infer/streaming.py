@@ -316,7 +316,10 @@ class StreamingSession:
 
     Worst-case latency: a pushed sample is emitted after at most
     `chunk + 2*stride` further samples arrive (or at flush) — 5 s of
-    audio at the nominal 2 s chunk / 0.5 s overlap geometry.
+    audio at the nominal 2 s chunk / 0.5 s overlap geometry. In naive
+    mode (`consistent_boundaries=False`) there is no cross-chunk bit
+    dependency: each full window denoises immediately in one fused
+    dispatch and the bound drops to `chunk + stride` (3.5 s nominal).
     """
 
     def __init__(self, denoiser: StreamingDenoiser):
@@ -363,16 +366,17 @@ class StreamingSession:
             self._pending_bits[i] = pair[1]
 
     def _denoise_next(self) -> None:
-        """Denoise chunk _next_den (bits final) into the carry."""
+        """Denoise chunk _next_den into the carry (consistent mode: with
+        its finalized reconciled bits; naive mode: one fused dispatch,
+        no separate detect)."""
         k = self._next_den
         wave = self._chunk_wave(k)
         if self.d.consistent_boundaries:
             out = self.d._batched(
                 self.d.pipeline.denoise_with_bits,
-                [wave[None], self._pending_bits[0][None]])[0]
+                [wave[None], self._pending_bits.pop(0)[None]])[0]
         else:
             out = self.d._one_pass(wave[None])[0]
-        self._pending_bits.pop(0)
         self._next_den = k + 1
         # grow the carry to cover [emit_abs, k*stride + valid)
         start = k * self.stride
@@ -418,13 +422,22 @@ class StreamingSession:
         samples = np.asarray(samples, dtype=np.float32).reshape(-1)
         self._buf = np.concatenate([self._buf, samples])
         self._n += len(samples)
-        # detect every chunk whose full window is in; denoise each
-        # chunk whose bits are final (detected + reconciled with its
-        # successor). The single-chunk offline fast path means nothing
-        # can be emitted until the stream provably has >= 2 chunks.
-        while self._next_det * self.stride + self.chunk <= self._n:
-            self._detect(self._next_det)
-            if self._next_det >= 2:  # chunk _next_det-2's bits are final
+        # Consistent mode: detect every chunk whose full window is in;
+        # denoise each chunk whose bits are final (detected + reconciled
+        # with its successor). Naive mode: no cross-chunk dependency —
+        # denoise each full window immediately (one fused dispatch per
+        # chunk, latency bound drops to chunk + stride). Either way the
+        # single-chunk offline fast path means nothing can be emitted
+        # until the stream provably has >= 2 chunks.
+        if self.d.consistent_boundaries:
+            while self._next_det * self.stride + self.chunk <= self._n:
+                self._detect(self._next_det)
+                if self._next_det >= 2:  # chunk _next_det-2 is final
+                    self._denoise_next()
+        else:
+            while self._next_den * self.stride + self.chunk <= self._n:
+                if self._next_den == 0 and self._n <= self.chunk:
+                    break  # could still be a single-chunk stream
                 self._denoise_next()
         if self._next_den == 0:
             return np.zeros(0, np.float32)
@@ -445,8 +458,12 @@ class StreamingSession:
             return self.d.denoise(self._buf[-n:] if self._base == 0
                                   else self._buf)
         # remaining chunk starts: every k*stride < n (offline layout)
-        while self._next_det * self.stride < n:
-            self._detect(self._next_det)
-        while self._next_den < self._next_det:
-            self._denoise_next()
+        if self.d.consistent_boundaries:
+            while self._next_det * self.stride < n:
+                self._detect(self._next_det)
+            while self._next_den < self._next_det:
+                self._denoise_next()
+        else:
+            while self._next_den * self.stride < n:
+                self._denoise_next()
         return self._take(n)

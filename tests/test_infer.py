@@ -500,11 +500,13 @@ def test_streaming_session_push_equals_offline(tiny, rng):
     from sos_tpu.infer.streaming import StreamingSession
 
     cfg, det_vars, den_vars = tiny
-    for seconds, chunk_s, ov_s in ((7.3, 2.0, 0.5), (4.0, 2.0, 0.0),
-                                   (5.1, 1.0, 0.25)):
+    for seconds, chunk_s, ov_s, consistent in (
+            (7.3, 2.0, 0.5, True), (4.0, 2.0, 0.0, True),
+            (5.1, 1.0, 0.25, True), (6.2, 2.0, 0.5, False)):
         stream = StreamingDenoiser(cfg, det_vars, den_vars,
                                    chunk_seconds=chunk_s,
-                                   overlap_seconds=ov_s)
+                                   overlap_seconds=ov_s,
+                                   consistent_boundaries=consistent)
         n = int(seconds * cfg.data.sample_rate)
         wav = (rng.standard_normal(n) * 0.2).astype(np.float32)
         want = stream.denoise(wav)
@@ -512,13 +514,14 @@ def test_streaming_session_push_equals_offline(tiny, rng):
         sess = StreamingSession(stream)
         outs, pos = [], 0
         push_rng = np.random.default_rng(42)
+        # naive mode has no cross-chunk bit dependency -> tighter bound
+        bound = stream.chunk + (2 if consistent else 1) * stream.stride
         while pos < n:
             step = int(push_rng.integers(1000, 9000))
             outs.append(sess.push(wav[pos:pos + step]))
             pos = min(pos + step, n)
             emitted = sum(len(o) for o in outs)
-            lag = pos - emitted
-            assert lag <= stream.chunk + 2 * stream.stride
+            assert pos - emitted <= bound
         outs.append(sess.flush())
         got = np.concatenate(outs)
         # same chunking/reconciliation/crossfade arithmetic; the only
