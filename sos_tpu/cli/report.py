@@ -3,10 +3,19 @@ and render training curves from the fit() metrics log.
 
 Usage:
     python -m sos_tpu.cli.report --results_dir outputs/ [--plot report.png]
+    python -m sos_tpu.cli.report --quality quality.json --html report.html
     python -m sos_tpu.cli.report --train_log <log_dir> \
         [--train_plot curves.png]
     python -m sos_tpu.cli.report --results_dir outputs/ \
         --train_log <log_dir> --html report.html
+
+`--results_dir` renders BOTH stages from eval_results_snr*.json files:
+denoise metrics when present ('denoise_statistics') and the stage-1
+silence-detection table (accuracy/precision/recall/F1/ROC-AUC/MCC vs
+input SNR from 'prediction_statistics', the reference show_metrics
+set). `--quality` accepts an `eval_synthetic --out` JSON and renders
+the same denoise-vs-SNR section plus the unprocessed noisy-input
+baseline rows/curves when it carries them.
 
 Equivalent of model_2 `draw_agg_stats.py` (:10-127) for the per-SNR
 table/plots; the training-curve view renders the durable
@@ -71,6 +80,43 @@ def collect(results_dir: str) -> "OrderedDict[float, dict]":
         stats = payload.get("denoise_statistics")
         if stats:
             out[snr] = stats
+    return OrderedDict(sorted(out.items()))
+
+
+# stage-1 quality columns, in reference show_metrics order
+# (m1 predict.py prediction_statistics; 'base' = majority-class floor)
+DETECT_KEYS = ("base", "accuracy", "precision", "true_pos_rate(recall)",
+               "f1", "roc_auc", "mcc")
+
+
+def collect_detection(results_dir: str) -> "OrderedDict[float, dict]":
+    """Per-SNR detector quality from predict_detector's
+    eval_results_snr*.json ('prediction_statistics'/'all' — the files
+    collect() skips because they carry no denoise stats)."""
+    out = {}
+    for path in glob.glob(os.path.join(results_dir, "eval_results*snr*.json")):
+        m = re.search(r"_snr(-?[0-9_]+)\.json$", path)
+        if not m:
+            continue
+        snr = float(m.group(1).replace("_", "."))
+        with open(path) as fp:
+            payload = json.load(fp)
+        stats = (payload.get("prediction_statistics") or {}).get("all")
+        if stats:
+            out[snr] = stats
+    return OrderedDict(sorted(out.items()))
+
+
+def load_quality(path: str) -> "OrderedDict[float, dict]":
+    """An `eval_synthetic --out` JSON ({'snr_N': {avg_*...}}) as a
+    collect()-shaped table, so every denoise-vs-SNR renderer accepts
+    either source. `noisy_avg_*` baseline columns pass through."""
+    with open(path) as fp:
+        payload = json.load(fp)
+    out = {}
+    for key, stats in payload.items():
+        if key.startswith("snr_"):
+            out[float(key[4:])] = stats
     return OrderedDict(sorted(out.items()))
 
 
@@ -197,13 +243,47 @@ def snr_figure(table, keys):
     fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 3 * rows),
                              squeeze=False)
     snrs = list(table.keys())
+    has_noisy = any(f"noisy_{k}" in table[s] for k in keys for s in snrs)
     for ax, key in zip(axes.flat, keys):
         ax.plot(snrs, [table[s].get(key) for s in snrs], marker="o",
-                color=_C_TRAIN, linewidth=1.6)
+                color=_C_TRAIN, linewidth=1.6,
+                label="denoised" if has_noisy else None)
+        noisy = [table[s].get(f"noisy_{key}") for s in snrs]
+        if any(v is not None for v in noisy):
+            ax.plot(snrs, noisy, marker="o", linestyle="--",
+                    color=_C_VAL, linewidth=1.6, label="noisy input")
+            ax.legend(fontsize=7)
         ax.set_title(key.replace("avg_", ""))
         ax.set_xlabel("input SNR (dB)")
         ax.grid(alpha=0.3)
     for ax in list(axes.flat)[n:]:
+        ax.axis("off")
+    fig.tight_layout()
+    return fig
+
+
+def detection_figure(table):
+    plt = _plt()
+    keys = [k for k in DETECT_KEYS
+            if k != "base" and k in next(iter(table.values()))]
+    cols = 3
+    rows = -(-len(keys) // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(4 * cols, 3 * rows),
+                             squeeze=False)
+    snrs = list(table.keys())
+    for ax, key in zip(axes.flat, keys):
+        ax.plot(snrs, [table[s].get(key) for s in snrs], marker="o",
+                color=_C_TRAIN, linewidth=1.6)
+        if key == "accuracy":  # majority-class floor contextualizes it
+            base = [table[s].get("base") for s in snrs]
+            if any(v is not None for v in base):
+                ax.plot(snrs, base, marker="o", linestyle="--",
+                        color=_C_VAL, linewidth=1.6, label="base rate")
+                ax.legend(fontsize=7)
+        ax.set_title(key)
+        ax.set_xlabel("input SNR (dB)")
+        ax.grid(alpha=0.3)
+    for ax in list(axes.flat)[len(keys):]:
         ax.axis("off")
     fig.tight_layout()
     return fig
@@ -303,7 +383,7 @@ def _table_html(header, rows):
 
 
 def html_report(out_path, snr_table=None, train_rows=None, compare=None,
-                sources=None) -> None:
+                detect_table=None, sources=None) -> None:
     """Write one self-contained HTML file with every requested section;
     each chart is paired with its numeric table (the table IS the
     accessible/table view of the chart, not an extra)."""
@@ -317,6 +397,20 @@ def html_report(out_path, snr_table=None, train_rows=None, compare=None,
             f"{e(k)}: <code>{e(str(v))}</code>" for k, v in sources.items())
             + "</p>")
 
+    if detect_table:
+        keys = [k for k in DETECT_KEYS
+                if k in next(iter(detect_table.values()))]
+        parts.append("<h2>Silence detection quality vs input SNR "
+                     "(stage 1)</h2>")
+        parts.append(_table_html(
+            ["snr_db"] + list(keys),
+            [[f"{snr:+.0f}"] + [f"{stats.get(k, float('nan')):.4f}"
+                                for k in keys]
+             for snr, stats in detect_table.items()]))
+        fig = detection_figure(detect_table)
+        parts.append(f'<img alt="detection-metric-vs-SNR curves" '
+                     f'src="data:image/png;base64,{_fig_b64(fig)}">')
+
     if snr_table:
         keys = [k for k in METRIC_KEYS if k in next(iter(snr_table.values()))]
         parts.append("<h2>Denoising quality vs input SNR</h2>")
@@ -325,6 +419,17 @@ def html_report(out_path, snr_table=None, train_rows=None, compare=None,
             [[f"{snr:+.0f}"] + [f"{stats.get(k, float('nan')):.4f}"
                                 for k in keys]
              for snr, stats in snr_table.items()]))
+        noisy_keys = [k for k in keys if any(
+            f"noisy_{k}" in s for s in snr_table.values())]
+        if noisy_keys:
+            parts.append("<p class='meta'>unprocessed noisy-input "
+                         "baseline (same clips and metrics):</p>")
+            parts.append(_table_html(
+                ["snr_db"] + [k.replace("avg_", "") for k in noisy_keys],
+                [[f"{snr:+.0f}"]
+                 + [f"{stats.get(f'noisy_{k}', float('nan')):.4f}"
+                    for k in noisy_keys]
+                 for snr, stats in snr_table.items()]))
         fig = snr_figure(snr_table, keys)
         parts.append(f'<img alt="metric-vs-SNR curves" '
                      f'src="data:image/png;base64,{_fig_b64(fig)}">')
@@ -396,9 +501,15 @@ def main() -> None:
     parser.add_argument("--html", type=str, default=None,
                         help="bundle every requested section into one "
                              "self-contained HTML dashboard")
+    parser.add_argument("--quality", type=str, default=None,
+                        help="an `eval_synthetic --out` JSON; renders "
+                             "the same denoise-vs-SNR section (plus the "
+                             "noisy-input baseline when present)")
     args = parser.parse_args()
-    if not (args.results_dir or args.train_log or args.compare):
-        parser.error("need --results_dir, --train_log and/or --compare")
+    if not (args.results_dir or args.train_log or args.compare
+            or args.quality):
+        parser.error("need --results_dir, --quality, --train_log "
+                     "and/or --compare")
 
     train_rows = load_train_log(args.train_log) if args.train_log else None
     compare_data = load_compare(*args.compare) if args.compare else None
@@ -408,28 +519,47 @@ def main() -> None:
         train_report(train_rows, args.train_plot)
 
     table = None
+    detect_table = None
     if args.results_dir:
         table = collect(args.results_dir)
-        if not table:
+        detect_table = collect_detection(args.results_dir)
+        if not table and not detect_table:
             print("no eval_results_snr*.json files found")
-        else:
-            keys = [k for k in METRIC_KEYS
-                    if k in next(iter(table.values()))]
-            print("snr_db " + " ".join(k.replace("avg_", "") for k in keys))
-            for snr, stats in table.items():
-                print(f"{snr:+.0f} " + " ".join(
-                    f"{stats.get(k, float('nan')):.4f}" for k in keys))
-            caveat = _pesq_caveat(keys)
-            if caveat:
-                print(f"note: {caveat}")
-            if args.plot:
-                snr_figure(table, keys).savefig(args.plot, dpi=120)
-                print(f"wrote {args.plot}")
+    if args.quality:
+        qtable = load_quality(args.quality)
+        if table:
+            # both sources present: results_dir wins for overlapping
+            # SNRs (it is the richer per-record artifact)
+            qtable.update(table)
+        table = OrderedDict(sorted(qtable.items()))
+
+    if detect_table:
+        keys = [k for k in DETECT_KEYS
+                if k in next(iter(detect_table.values()))]
+        print("detection: snr_db " + " ".join(keys))
+        for snr, stats in detect_table.items():
+            print(f"{snr:+.0f} " + " ".join(
+                f"{stats.get(k, float('nan')):.4f}" for k in keys))
+    if table:
+        keys = [k for k in METRIC_KEYS
+                if k in next(iter(table.values()))]
+        print("snr_db " + " ".join(k.replace("avg_", "") for k in keys))
+        for snr, stats in table.items():
+            print(f"{snr:+.0f} " + " ".join(
+                f"{stats.get(k, float('nan')):.4f}" for k in keys))
+        caveat = _pesq_caveat(keys)
+        if caveat:
+            print(f"note: {caveat}")
+        if args.plot:
+            snr_figure(table, keys).savefig(args.plot, dpi=120)
+            print(f"wrote {args.plot}")
 
     if args.html:
         sources = {}
         if args.results_dir:
             sources["results_dir"] = args.results_dir
+        if args.quality:
+            sources["quality"] = args.quality
         if args.train_log:
             sources["train_log"] = args.train_log
         if args.compare:
@@ -437,6 +567,7 @@ def main() -> None:
         html_report(args.html, snr_table=table or None,
                     train_rows=train_rows,
                     compare=compare_data,
+                    detect_table=detect_table or None,
                     sources=sources)
 
 

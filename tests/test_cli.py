@@ -385,6 +385,13 @@ def test_report_html_dashboard(tmp_path, monkeypatch, capsys):
     for snr, s in ((0, stats), (10, {k: 2.0 for k in stats})):
         (results / f"eval_results_snr{snr}.json").write_text(
             json.dumps({"denoise_statistics": s}))
+    # a predict_detector artifact (prediction stats only, no denoise
+    # block) must surface as the stage-1 detection section, not vanish
+    det = {"base": 0.6, "accuracy": 0.9, "precision": 0.8,
+           "true_pos_rate(recall)": 0.95, "f1": 0.87, "roc_auc": 0.91,
+           "mcc": 0.75}
+    (results / "eval_results_snr-10.json").write_text(
+        json.dumps({"prediction_statistics": {"all": det}}))
     log = tmp_path / "log"
     log.mkdir()
     rows = [
@@ -399,18 +406,30 @@ def test_report_html_dashboard(tmp_path, monkeypatch, capsys):
     eval_b = tmp_path / "b.json"
     eval_a.write_text(json.dumps({"snr_0": {"avg_stoi": 0.8}}))
     eval_b.write_text(json.dumps({"snr_0": {"avg_stoi": 0.79}}))
+    # eval_synthetic --out payload incl. the noisy-input baseline; its
+    # snr_5 row merges with the results_dir SNRs in one table
+    quality = tmp_path / "quality.json"
+    quality.write_text(json.dumps({"snr_5": dict(
+        {k: 1.5 for k in stats},
+        **{f"noisy_{k}": 0.5 for k in stats})}))
 
     from sos_tpu.cli import report
 
     out = tmp_path / "dash.html"
     _run(report.main,
          ["--results_dir", str(results), "--train_log", str(log),
+          "--quality", str(quality),
           "--compare", str(eval_a), str(eval_b), "--html", str(out)],
          monkeypatch)
     capsys.readouterr()
     html = out.read_text()
-    assert html.count("data:image/png;base64,") == 2
+    # detection curves + denoise curves + training curves
+    assert html.count("data:image/png;base64,") == 3
     assert "Denoising quality vs input SNR" in html
+    assert "Silence detection quality vs input SNR" in html
+    assert "roc_auc" in html and "0.9100" in html
+    # the quality row merged in, and its baseline companion rendered
+    assert "+5" in html and "noisy-input" in html and "0.5000" in html
     assert "best epoch metric" in html and "ckpt_epoch1" in html
     assert "Profile comparison" in html and "-0.0100" in html
 
