@@ -68,6 +68,35 @@ def _run(main_fn, argv, monkeypatch):
     main_fn()
 
 
+def _ensure_trained(cli_env, monkeypatch):
+    """Make the tiny trained checkpoints + ds.json exist.
+
+    The slow-tier tests must run standalone (`pytest -m slow`) where
+    the not-slow test_cli_full_flow — which normally trains them first
+    in full-suite order — is deselected. No-op when the artifacts are
+    already there."""
+    root = cli_env["root"]
+    out_root = str(root / "model_output")
+    ds_json = str(root / "ds.json")
+    have = all(os.path.isdir(os.path.join(out_root, f"tiny_{s}",
+                                          "model", "latest"))
+               for s in ("detector", "denoiser"))
+    if have and os.path.exists(ds_json):
+        return
+    from sos_tpu.cli import preprocess, train_denoiser, train_detector
+
+    if not os.path.exists(ds_json):
+        _run(preprocess.main,
+             ["--audio_dir", cli_env["audio_dir"], "--output_json", ds_json,
+              "--label_silence"], monkeypatch)
+    common = ["--dataset_json", ds_json, "--noise_root",
+              cli_env["noise_dir"], "--output_root", out_root,
+              "--config_json", cli_env["cfg"], "--name", "tiny"]
+    if not have:
+        _run(train_detector.main, common + ["--epochs", "1"], monkeypatch)
+        _run(train_denoiser.main, common + ["--epochs", "1"], monkeypatch)
+
+
 def test_cli_full_flow(cli_env, monkeypatch):
     root = cli_env["root"]
     ds_json = str(root / "ds.json")
@@ -149,6 +178,7 @@ def test_cli_full_flow(cli_env, monkeypatch):
 @pytest.mark.slow
 def test_cli_one_shot_denoise(cli_env, monkeypatch):
     """The single-command wav->wav tool runs on trained tiny checkpoints."""
+    _ensure_trained(cli_env, monkeypatch)
     root = cli_env["root"]
     out_root = str(root / "model_output")
     out_wav = str(root / "denoised.wav")
@@ -169,6 +199,7 @@ def test_cli_one_shot_denoise(cli_env, monkeypatch):
 @pytest.mark.slow
 def test_cli_eval_synthetic(cli_env, monkeypatch, capsys):
     """Batched per-SNR quality evaluation runs on the trained tiny model."""
+    _ensure_trained(cli_env, monkeypatch)
     root = cli_env["root"]
     out_root = str(root / "model_output")
     out_json = str(root / "synth_eval.json")
@@ -228,10 +259,12 @@ def test_cli_import_checkpoint(cli_env, monkeypatch, tmp_path):
 
 
 @pytest.mark.slow
-def test_cli_serve_protocol(cli_env):
+def test_cli_serve_protocol(cli_env, monkeypatch):
     """Drive the long-lived serve loop over stdin: PING, two denoise
     requests (pipeline stays warm), an error, QUIT."""
     import subprocess
+
+    _ensure_trained(cli_env, monkeypatch)
 
     root = cli_env["root"]
     env = dict(os.environ)
@@ -438,6 +471,7 @@ def test_report_html_dashboard(tmp_path, monkeypatch, capsys):
 def test_cli_batch_denoise_dir(cli_env, monkeypatch):
     """--input_dir/--output_dir denoises every wav in one invocation,
     matching the single-file tool's output per file."""
+    _ensure_trained(cli_env, monkeypatch)
     root = cli_env["root"]
     out_root = str(root / "model_output")
     batch_out = str(root / "batch_denoised")
