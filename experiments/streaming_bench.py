@@ -28,6 +28,9 @@ UTTS = int(os.environ.get("UTTS", "8"))
 SECONDS = float(os.environ.get("SECONDS", "60"))
 BATCH_CHUNKS = int(os.environ.get("BATCH_CHUNKS", "128"))
 MANY = bool(os.environ.get("MANY"))
+# WIRE=int16 ships chunks/outputs as int16 (half the transfer bytes —
+# the dominant cost over a tunnel, see ROADMAP streaming decomposition)
+WIRE = os.environ.get("WIRE", "float32")
 
 
 def main():
@@ -49,11 +52,12 @@ def main():
 
     results = {"mode": "denoise_many" if MANY else "denoise",
                "utts": UTTS, "seconds": SECONDS,
-               "batch_chunks": BATCH_CHUNKS}
+               "batch_chunks": BATCH_CHUNKS, "wire": WIRE}
     for mode, consistent in (("one_pass", False), ("two_pass", True)):
         s = StreamingDenoiser(cfg, det_vars, den_vars,
                               batch_chunks=BATCH_CHUNKS, profile="int8",
-                              consistent_boundaries=consistent)
+                              consistent_boundaries=consistent,
+                              transfer_dtype=WIRE)
         if MANY:
             run = s.denoise_many
         else:

@@ -59,6 +59,11 @@ def main() -> None:
                              "reference-exact, bf16 = bf16 conv trunks, "
                              "int8 = quantized trunks + packed layout "
                              "(fastest; self-calibrates on first batch)")
+    parser.add_argument("--transfer_dtype", type=str, default="float32",
+                        choices=("float32", "int16"),
+                        help="wire dtype for host<->device waveforms; "
+                             "int16 halves transfer bytes (lossless for "
+                             "16-bit PCM inputs, output within 1/65536)")
     parser.add_argument("--calibration_json", type=str, default=None,
                         help="int8 activation-scale file; loaded when "
                              "present, else written after the first "
@@ -93,7 +98,8 @@ def main() -> None:
         cfg, det_vars, den_vars, chunk_seconds=args.chunk_seconds,
         overlap_seconds=args.overlap_seconds, threshold=args.threshold,
         compute_dtype="bfloat16" if args.bf16 else "float32",
-        profile=profile, calibration_path=calib)
+        profile=profile, calibration_path=calib,
+        transfer_dtype=args.transfer_dtype)
     sr = cfg.data.sample_rate
 
     if not batch_mode:

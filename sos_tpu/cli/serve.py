@@ -323,6 +323,11 @@ def main() -> None:
     parser.add_argument("--profile", type=str, default=None,
                         choices=("f32", "bf16", "int8"))
     parser.add_argument("--calibration_json", type=str, default=None)
+    parser.add_argument("--transfer_dtype", type=str, default="float32",
+                        choices=("float32", "int16"),
+                        help="wire dtype for host<->device waveforms; "
+                             "int16 halves transfer bytes (lossless for "
+                             "16-bit PCM inputs, output within 1/65536)")
     parser.add_argument("--warmup", action="store_true",
                         help="precompile every power-of-two chunk-batch "
                              "width before READY so no request ever "
@@ -345,7 +350,8 @@ def main() -> None:
     stream = StreamingDenoiser(
         cfg, det_vars, den_vars, chunk_seconds=args.chunk_seconds,
         overlap_seconds=args.overlap_seconds, threshold=args.threshold,
-        profile=args.profile, calibration_path=calib)
+        profile=args.profile, calibration_path=calib,
+        transfer_dtype=args.transfer_dtype)
 
     loop = ServeLoop(
         denoise=stream.denoise,

@@ -17,12 +17,50 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sos_tpu.config import ExperimentConfig
 from sos_tpu.dsp.crm import apply_compressed_crm
 from sos_tpu.dsp.mixing import bitstream_to_sample_mask
 from sos_tpu.dsp.stft import istft, stft
 from sos_tpu.models import JointDenoiser, SilenceDetector
+
+# -- int16 wire format -----------------------------------------------------
+# 16-bit PCM sources decode to exact multiples of 1/32768 (audio_io.py:47),
+# so shipping waveform chunks as int16 (k = round(y*32768)) HALVES the
+# host<->device transfer bytes with zero input error for unresampled
+# 16-bit audio; outputs rounded the same way sit within half an LSB of
+# what a 16-bit WAV write stores anyway. Transfer dominates the serving
+# wall clock on remote/tunneled TPUs (docs/ROADMAP.md streaming
+# decomposition), and halving it is free quality-wise at PCM precision.
+WIRE_SCALE = 32768.0
+
+
+def wire_encode(y: np.ndarray) -> np.ndarray:
+    """Host side: f32 waveform -> int16 wire chunks (round-to-nearest;
+    exact inverse of audio_io's int16 decode for values k/32768)."""
+    return np.clip(np.round(np.asarray(y, np.float32) * WIRE_SCALE),
+                   -32768.0, 32767.0).astype(np.int16)
+
+
+def wire_decode(y) -> np.ndarray:
+    """Host side: int16 wire chunks -> f32 waveform."""
+    return np.asarray(y, np.float32) * np.float32(1.0 / WIRE_SCALE)
+
+
+def _wire_in(mixed: jnp.ndarray) -> jnp.ndarray:
+    """In-graph ingest: accept f32 chunks or int16 wire chunks. jit
+    retraces per input dtype, so both wire formats coexist in the
+    program cache without configuration."""
+    if mixed.dtype == jnp.int16:
+        return mixed.astype(jnp.float32) * (1.0 / WIRE_SCALE)
+    return mixed
+
+
+def _wire_out(y: jnp.ndarray) -> jnp.ndarray:
+    """In-graph emit: f32 waveform -> int16 wire samples."""
+    return jnp.clip(jnp.round(y * WIRE_SCALE),
+                    -32768.0, 32767.0).astype(jnp.int16)
 
 
 class FusedDenoisePipeline:
@@ -31,7 +69,8 @@ class FusedDenoisePipeline:
     def __init__(self, cfg: ExperimentConfig, detector_vars: Dict,
                  denoiser_vars: Dict, threshold: float = 0.5,
                  clip_seconds: float = 2.0, compute_dtype: str = "float32",
-                 profile: str = None, calibration_path: str = None):
+                 profile: str = None, calibration_path: str = None,
+                 wire_dtype: str = "float32"):
         """`profile`: "f32" | "bf16" | "int8" — the bench.py profiles.
         f32/bf16 map onto `compute_dtype`; "int8" swaps the denoiser for
         the quantized packed pipeline (models/quant.py; detector runs
@@ -42,7 +81,17 @@ class FusedDenoisePipeline:
         `calibration_path`: JSON file persisting the int8 activation
         scales — loaded when present (skips self-calibration so every
         serving process uses identical scales), written after the first
-        self-calibration otherwise."""
+        self-calibration otherwise.
+
+        `wire_dtype`: "float32" | "int16" — the dtype the DENOISED
+        waveform leaves the device in. int16 halves the output transfer
+        (see the wire-format note above); callers decode with
+        `wire_decode`. Input chunks may be int16 wire samples in either
+        mode (the programs ingest both dtypes)."""
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(f"wire_dtype must be float32|int16, "
+                             f"got {wire_dtype!r}")
+        self.wire_dtype = wire_dtype
         if profile:
             compute_dtype = {"f32": "float32", "bf16": "bfloat16",
                              "int8": "bfloat16"}[profile]
@@ -86,8 +135,11 @@ class FusedDenoisePipeline:
         threshold = self.threshold
         detector, denoiser = self.detector, self.denoiser
 
+        emit = _wire_out if self.wire_dtype == "int16" else (lambda y: y)
+
         @jax.jit
         def run(det_vars, den_vars, mixed):
+            mixed = _wire_in(mixed)
             mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length, scfg.win_length)
             logits = detector.apply(det_vars, mixed_stft,
                                     num_frames=num_frames, train=False)
@@ -101,7 +153,7 @@ class FusedDenoisePipeline:
             clean_stft = apply_compressed_crm(mixed_stft, crm)
             denoised = istft(clean_stft, scfg.n_fft, scfg.hop_length,
                              scfg.win_length)
-            return denoised, bits
+            return emit(denoised), bits
 
         return run
 
@@ -121,8 +173,11 @@ class FusedDenoisePipeline:
         # so passing the float checkpoint pytrees would cost per-call
         # flatten/hash dispatch on hundreds of arrays the traced program
         # never reads (the serve hot path pays that per request).
+        emit = _wire_out if self.wire_dtype == "int16" else (lambda y: y)
+
         @jax.jit
         def run(mixed):
+            mixed = _wire_in(mixed)
             # ONE packed STFT feeds both the quantized detector and the
             # denoiser's mixed branch.
             mr, mi = stft_packed(mixed, scfg.n_fft, scfg.hop_length,
@@ -138,7 +193,7 @@ class FusedDenoisePipeline:
             denoised = istft_packed(rr * mr - ri * mi, rr * mi + ri * mr,
                                     scfg.n_fft, scfg.hop_length,
                                     scfg.win_length)
-            return denoised, bits
+            return emit(denoised), bits
 
         return run
 
@@ -170,6 +225,7 @@ class FusedDenoisePipeline:
         num_frames = self.num_frames
         threshold = self.threshold
         detector, denoiser = self.detector, self.denoiser
+        emit = _wire_out if self.wire_dtype == "int16" else (lambda y: y)
 
         quant_det = self._quant_det
 
@@ -180,6 +236,7 @@ class FusedDenoisePipeline:
             # see _build_int8)
             @jax.jit
             def detect(mixed):
+                mixed = _wire_in(mixed)
                 mr, mi = _sp(mixed, scfg.n_fft, scfg.hop_length,
                              scfg.win_length)
                 logits = quant_det.logits_packed(mr, mi, num_frames)
@@ -188,6 +245,7 @@ class FusedDenoisePipeline:
         else:
             @jax.jit
             def detect(det_vars, mixed):
+                mixed = _wire_in(mixed)
                 mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
                                   scfg.win_length)
                 logits = detector.apply(det_vars, mixed_stft,
@@ -203,6 +261,7 @@ class FusedDenoisePipeline:
 
             @jax.jit
             def denoise_bits(mixed, bits):
+                mixed = _wire_in(mixed)
                 mask = bitstream_to_sample_mask(
                     bits, ratio, clip_samples, cfg.data.despeckle_min_run)
                 mr, mi = stft_packed(mixed, scfg.n_fft, scfg.hop_length,
@@ -211,12 +270,14 @@ class FusedDenoisePipeline:
                                      scfg.hop_length, scfg.win_length)
                 cr, ci = quant.crm_packed(mr, mi, gr, gi)
                 rr, ri = crm_sigmoid_recover(cr), crm_sigmoid_recover(ci)
-                return istft_packed(rr * mr - ri * mi, rr * mi + ri * mr,
-                                    scfg.n_fft, scfg.hop_length,
-                                    scfg.win_length)
+                return emit(istft_packed(rr * mr - ri * mi,
+                                         rr * mi + ri * mr,
+                                         scfg.n_fft, scfg.hop_length,
+                                         scfg.win_length))
         else:
             @jax.jit
             def denoise_bits(den_vars, mixed, bits):
+                mixed = _wire_in(mixed)
                 mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
                                   scfg.win_length)
                 mask = bitstream_to_sample_mask(bits, ratio, clip_samples,
@@ -226,8 +287,8 @@ class FusedDenoisePipeline:
                 _, crm = denoiser.apply(den_vars, mixed_stft, gated_stft,
                                         train=False)
                 clean_stft = apply_compressed_crm(mixed_stft, crm)
-                return istft(clean_stft, scfg.n_fft, scfg.hop_length,
-                             scfg.win_length)
+                return emit(istft(clean_stft, scfg.n_fft, scfg.hop_length,
+                                  scfg.win_length))
 
         return detect, denoise_bits
 
@@ -337,6 +398,9 @@ class FusedDenoisePipeline:
         path = self._calibration_path
         if path and self.load_calibration_file(path):
             return
+        mixed = np.asarray(mixed)
+        if mixed.dtype == np.int16:  # int16 wire chunks calibrate too
+            mixed = wire_decode(mixed)
         spec = stft(jnp.asarray(mixed), self.cfg.stft.n_fft,
                     self.cfg.stft.hop_length, self.cfg.stft.win_length)
         if not self._quant._calibrated:

@@ -48,12 +48,31 @@ class StreamingDenoiser:
                  overlap_seconds: float = 0.5, batch_chunks: int = 16,
                  threshold: float = 0.5, compute_dtype: str = "float32",
                  consistent_boundaries: bool = True, profile: str = None,
-                 calibration_path: str = None):
+                 calibration_path: str = None,
+                 transfer_dtype: str = "float32"):
+        """`transfer_dtype="int16"` ships waveform chunks to the device
+        and denoised audio back as int16 wire samples (fused.py wire
+        format): HALF the transfer bytes each way — the dominant serving
+        cost on remote/tunneled TPUs (docs/ROADMAP.md). Lossless on
+        input for unresampled 16-bit PCM sources (their floats are
+        exact multiples of 1/32768); the output delta vs float32
+        transfer is the int16 LSB plus float-rounding drift (XLA fuses
+        the dequant scale into the STFT matmul) with rare
+        near-threshold detection flips — the same drift class as the
+        bf16/int8 profiles, bounded in tests/test_infer.py. Output
+        samples past full scale clamp to [-1, 32767/32768], exactly as
+        audio_io.write_wav's 16-bit PCM encode would clip them anyway.
+        The API still takes/returns float32 waveforms."""
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(f"transfer_dtype must be float32|int16, "
+                             f"got {transfer_dtype!r}")
+        self.transfer_dtype = transfer_dtype
         self.cfg = cfg
         self.pipeline = FusedDenoisePipeline(
             cfg, detector_vars, denoiser_vars, threshold=threshold,
             clip_seconds=chunk_seconds, compute_dtype=compute_dtype,
-            profile=profile, calibration_path=calibration_path)
+            profile=profile, calibration_path=calibration_path,
+            wire_dtype=transfer_dtype)
         sr = cfg.data.sample_rate
         hop = cfg.stft.hop_length
         self.chunk = self.pipeline.clip_samples
@@ -223,6 +242,12 @@ class StreamingDenoiser:
         ``batch_chunks``-wide batch. Bucketing bounds recompilation to
         log2(batch_chunks) program shapes, each cached after first use.
         """
+        if self.transfer_dtype == "int16":
+            # arrays[0] is always the waveform chunks at every call
+            # site; later arrays (reconciled bits) stay float32
+            from sos_tpu.infer.fused import wire_encode
+
+            arrays = [wire_encode(arrays[0]), *arrays[1:]]
         n = len(arrays[0])
         outs = []
         for b in range(0, n, self.batch_chunks):
@@ -235,7 +260,12 @@ class StreamingDenoiser:
                                  dtype=t.dtype)]) for t in tiles]
             out = fn(*[jnp.asarray(t) for t in tiles])
             outs.append(np.asarray(out)[:real])
-        return np.concatenate(outs, axis=0)
+        result = np.concatenate(outs, axis=0)
+        if result.dtype == np.int16:  # wire-format denoised audio
+            from sos_tpu.infer.fused import wire_decode
+
+            result = wire_decode(result)
+        return result
 
     def _one_pass(self, chunks: np.ndarray) -> np.ndarray:
         return self._batched(lambda m: self.pipeline(m)[0], [chunks])

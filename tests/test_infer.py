@@ -80,6 +80,67 @@ def test_streaming_matches_fused_on_short_input(tiny, rng):
     assert np.isfinite(out).all()
 
 
+def test_streaming_int16_transfer_matches_f32(tiny, rng):
+    """transfer_dtype="int16" (half the wire bytes each way): for a
+    16-bit-PCM-exact input (floats k/32768, what audio_io decodes) the
+    wire round trip is lossless, detection decisions match up to rare
+    near-threshold flips (XLA fuses the in-graph dequant scale into the
+    STFT matmul, perturbing float rounding — the same drift class as
+    the bf16/int8 profiles), and with SHARED bits the denoised output
+    differs only by that rounding plus the output's int16 LSB."""
+    cfg, det_vars, den_vars = tiny
+    from sos_tpu.infer.fused import wire_decode, wire_encode
+
+    # exact 16-bit PCM grid, several chunks' worth
+    pcm = rng.integers(-6000, 6000, size=14000 * 5).astype(np.int16)
+    wav = wire_decode(pcm)
+    assert np.array_equal(wire_encode(wav), pcm)  # lossless round trip
+
+    kw = dict(chunk_seconds=2.0, overlap_seconds=0.5, batch_chunks=4)
+    f32 = StreamingDenoiser(cfg, det_vars, den_vars, **kw)
+    s16 = StreamingDenoiser(cfg, det_vars, den_vars,
+                            transfer_dtype="int16", **kw)
+
+    # chunk layout identical to denoise(): isolate the wire path
+    starts = list(range(0, len(wav), f32.stride))
+    chunks = np.zeros((len(starts), f32.chunk), dtype=np.float32)
+    for i, s in enumerate(starts):
+        seg = wav[s:s + f32.chunk]
+        chunks[i, : len(seg)] = seg
+
+    bits_f = f32._batched(f32.pipeline.detect_bits, [chunks])
+    bits_i = s16._batched(s16.pipeline.detect_bits, [chunks])
+    assert np.mean(bits_f != bits_i) <= 0.02  # near-threshold flips only
+
+    # shared bits: the remaining delta is float rounding + output LSB.
+    # The wire clamps to int16 range exactly as a 16-bit WAV write
+    # would, so samples the model pushes past full scale compare
+    # against the clipped reference.
+    out_f = f32._batched(f32.pipeline.denoise_with_bits, [chunks, bits_f])
+    out_i = s16._batched(s16.pipeline.denoise_with_bits, [chunks, bits_f])
+    assert out_i.dtype == np.float32  # decoded back off the wire
+    clipped = np.clip(out_f, -1.0, 32767.0 / 32768.0)
+    assert np.max(np.abs(out_i - clipped)) <= 5e-4
+
+    # end to end: same shape, finite, and close in aggregate (exact
+    # sample equality is not the contract when a bit may flip)
+    out_full_f, out_full_i = f32.denoise(wav), s16.denoise(wav)
+    assert out_full_i.shape == out_full_f.shape
+    assert np.isfinite(out_full_i).all()
+    assert np.mean(np.abs(
+        out_full_i - np.clip(out_full_f, -1.0, 32767.0 / 32768.0))) <= 1e-3
+
+    # one-pass (non-consistent) mode covers the fused __call__ entry
+    s16_np = StreamingDenoiser(cfg, det_vars, den_vars,
+                               consistent_boundaries=False,
+                               transfer_dtype="int16", **kw)
+    out_np = s16_np.denoise(wav)
+    assert np.isfinite(out_np).all() and out_np.dtype == np.float32
+
+    with pytest.raises(ValueError):
+        StreamingDenoiser(cfg, det_vars, den_vars, transfer_dtype="int8")
+
+
 def test_streaming_long_form(tiny, rng):
     cfg, det_vars, den_vars = tiny
     stream = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
