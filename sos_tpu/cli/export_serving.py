@@ -39,6 +39,12 @@ def main() -> None:
                              "int8_calibration.json)")
     parser.add_argument("--platforms", type=str, nargs="+",
                         default=["tpu", "cpu"])
+    parser.add_argument("--transfer_dtype", type=str, default="float32",
+                        choices=("float32", "int16"),
+                        help="int16: the artifact takes/returns int16 "
+                             "PCM wire samples (half the accelerator-"
+                             "link bytes; fused.wire_encode/wire_decode "
+                             "convert)")
     parser.add_argument("--detector_ckpt", type=str, default="latest")
     parser.add_argument("--denoiser_ckpt", type=str, default="latest")
     parser.add_argument("--detector_pth", type=str, default=None)
@@ -62,7 +68,7 @@ def main() -> None:
         cfg, det_vars, den_vars, args.output, batch=args.batch,
         clip_seconds=args.clip_seconds, threshold=args.threshold,
         profile=args.profile, calibration_path=calib,
-        platforms=args.platforms)
+        platforms=args.platforms, wire_dtype=args.transfer_dtype)
     size = os.path.getsize(path)
     print(f"exported {path} ({size / 1e6:.1f} MB, "
           f"platforms={args.platforms}, profile={args.profile}, "

@@ -48,17 +48,24 @@ def export_denoise_program(
     profile: str = "f32",
     calibration_path: str = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    wire_dtype: str = "float32",
 ) -> str:
     """Serialize the fused pipeline for a fixed (batch, clip) shape.
 
     For the int8 profile a calibration JSON (see
     FusedDenoisePipeline._maybe_calibrate) is REQUIRED — exporting must
     not depend on whatever batch happens to flow first.
+
+    `wire_dtype="int16"` exports the int16 wire-format program
+    (fused.py): the artifact takes int16 PCM chunks and returns int16
+    denoised samples — half the bytes across the serving process's
+    accelerator link; encode/decode with fused.wire_encode/wire_decode.
     """
     pipe = FusedDenoisePipeline(cfg, detector_vars, denoiser_vars,
                                 threshold=threshold,
                                 clip_seconds=clip_seconds, profile=profile,
-                                calibration_path=calibration_path)
+                                calibration_path=calibration_path,
+                                wire_dtype=wire_dtype)
     if pipe._quant is not None:
         if not calibration_path:
             raise ValueError(
@@ -81,7 +88,8 @@ def export_denoise_program(
             # weights close over as embedded constants
             return run(det_vars, den_vars, mixed)
 
-    spec = jax.ShapeDtypeStruct((batch, pipe.clip_samples), jnp.float32)
+    in_dtype = jnp.int16 if wire_dtype == "int16" else jnp.float32
+    spec = jax.ShapeDtypeStruct((batch, pipe.clip_samples), in_dtype)
     exported = jax_export.export(serve, platforms=list(platforms))(spec)
     blob = exported.serialize()
     with open(path, "wb") as fp:
@@ -93,6 +101,7 @@ def export_denoise_program(
         "profile": pipe.profile,
         "threshold": threshold,
         "platforms": list(exported.platforms),
+        "wire_dtype": wire_dtype,
     }
     with open(path + ".json", "w") as fp:
         json.dump(meta, fp, indent=1)

@@ -57,6 +57,34 @@ def test_export_roundtrip_f32(env, tmp_path):
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(ref_bits))
 
 
+def test_export_int16_wire_artifact(env, tmp_path):
+    """wire_dtype="int16": the artifact takes int16 PCM chunks and
+    returns int16 denoised samples; decoded output matches the f32
+    artifact up to the wire contract (int16 LSB + full-scale clamp +
+    near-threshold drift, see test_infer's wire test)."""
+    from sos_tpu.infer.fused import wire_decode, wire_encode
+
+    cfg, dv, nv, mixed = env
+    # PCM-exact input so the dequantized waveform matches mixed itself
+    mixed = wire_decode(wire_encode(mixed))
+
+    path = str(tmp_path / "denoise_i16.jaxprog")
+    export_denoise_program(cfg, dv, nv, path, batch=2, platforms=("cpu",),
+                           wire_dtype="int16")
+    assert json.load(open(path + ".json"))["wire_dtype"] == "int16"
+
+    serve = load_denoise_program(path)
+    denoised, bits = serve(wire_encode(mixed))
+    assert np.asarray(denoised).dtype == np.int16
+
+    ref_out, ref_bits = FusedDenoisePipeline(cfg, dv, nv)(mixed)
+    flips = np.mean(np.asarray(bits) != np.asarray(ref_bits))
+    assert flips <= 0.02
+    if flips == 0:
+        clipped = np.clip(np.asarray(ref_out), -1.0, 32767.0 / 32768.0)
+        assert np.max(np.abs(wire_decode(denoised) - clipped)) <= 5e-4
+
+
 def test_export_int8_requires_calibration(env, tmp_path):
     cfg, dv, nv, mixed = env
     with pytest.raises(ValueError, match="calibration"):
