@@ -28,6 +28,7 @@ from sos_tpu.models import JointDenoiser, SilenceDetector
 N_REQ = int(os.environ.get("N_REQ", "64"))
 SECONDS = float(os.environ.get("SECONDS", "2"))
 BATCH_CHUNKS = int(os.environ.get("BATCH_CHUNKS", "64"))
+WIRE = os.environ.get("WIRE", "float32")  # int16: half the wire bytes
 
 
 def main():
@@ -42,7 +43,8 @@ def main():
     det_vars = jax.jit(lambda k: SilenceDetector(cfg.detector).init(
         k, dummy, num_frames=60, train=False))(rng)
     s = StreamingDenoiser(cfg, det_vars, den_vars,
-                          batch_chunks=BATCH_CHUNKS, profile="int8")
+                          batch_chunks=BATCH_CHUNKS, profile="int8",
+                          transfer_dtype=WIRE)
 
     host = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="serve_tp_")
@@ -75,7 +77,7 @@ def main():
     audio_sec = N_REQ * SECONDS
     print(json.dumps({
         "requests": N_REQ, "request_seconds": SECONDS,
-        "batch_chunks": BATCH_CHUNKS, "ok": ok,
+        "batch_chunks": BATCH_CHUNKS, "wire": WIRE, "ok": ok,
         "wall_s": round(wall, 2),
         "cold_wall_s": round(cold_wall, 2),
         "requests_per_s": round(N_REQ / wall, 1),
