@@ -111,10 +111,17 @@ def main() -> None:
             # BENCH_r03.json (2026-08-18, v5e via tunnel) — the last
             # healthy on-disk run of this script, quoted verbatim so the
             # fallback payload is traceable to a committed artifact.
+            # Same {"profiles": {name: {median, spread}}} shape as the
+            # healthy path so consumers parse ONE schema; spread is null
+            # because the r3 artifact predates median-of-3.
             "last_recorded": {
-                "source": "BENCH_r03.json",
-                "two_stage": 980.79, "int8": 1034.9, "bf16": 592.11,
-                "f32": 444.81, "vs_baseline": 1.9616,
+                "source": "BENCH_r03.json", "vs_baseline": 1.9616,
+                "profiles": {
+                    "two_stage": {"median": 980.79, "spread": None},
+                    "int8": {"median": 1034.9, "spread": None},
+                    "bf16": {"median": 592.11, "spread": None},
+                    "f32": {"median": 444.81, "spread": None},
+                },
             },
         }), flush=True)
         os._exit(2)

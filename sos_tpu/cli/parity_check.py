@@ -127,9 +127,17 @@ def main() -> None:
         if k in ours:
             report["delta"][k] = ours[k] - ref[k]
             print(f"  {k:<18} {report['delta'][k]:+.4f}")
-    failures = [k for k in ("avg_pesq", "avg_stoi")
-                if k in report["delta"]
-                and abs(report["delta"][k]) > args.tolerance]
+    gated = ("avg_pesq", "avg_stoi")
+    missing = [k for k in gated if k not in report["delta"]]
+    if missing:
+        # A manifest without the gated metrics must not pass vacuously —
+        # the bar is DEFINED on avg_pesq/avg_stoi (BASELINE.md).
+        print(f"PARITY ERROR: {', '.join(missing)} absent from the "
+              "manifest-vs-run comparison; cannot evaluate the parity bar",
+              file=sys.stderr)
+        sys.exit(2)
+    failures = [k for k in gated
+                if abs(report["delta"][k]) > args.tolerance]
     report["pass"] = not failures
     if args.out:
         with open(args.out, "w") as fp:

@@ -68,19 +68,37 @@ def _pesq_caveat(keys) -> str:
             "`python -m sos_tpu.eval.pesq_conformance` (docs/PARITY.md)")
 
 
-def collect(results_dir: str) -> "OrderedDict[float, dict]":
-    out = {}
+def _scan_results(results_dir: str):
+    """One pass over eval_results*snr*.json: yields (snr, payload).
+
+    The per-record 'data' payloads make these files large; every
+    consumer shares this single read/parse."""
     for path in glob.glob(os.path.join(results_dir, "eval_results*snr*.json")):
         m = re.search(r"_snr(-?[0-9_]+)\.json$", path)
         if not m:
             continue
         snr = float(m.group(1).replace("_", "."))
         with open(path) as fp:
-            payload = json.load(fp)
+            yield snr, json.load(fp)
+
+
+def collect_all(results_dir: str):
+    """(denoise_table, detection_table), each snr-sorted, parsing every
+    results file exactly once."""
+    denoise, detect = {}, {}
+    for snr, payload in _scan_results(results_dir):
         stats = payload.get("denoise_statistics")
         if stats:
-            out[snr] = stats
-    return OrderedDict(sorted(out.items()))
+            denoise[snr] = stats
+        dstats = (payload.get("prediction_statistics") or {}).get("all")
+        if dstats:
+            detect[snr] = dstats
+    return (OrderedDict(sorted(denoise.items())),
+            OrderedDict(sorted(detect.items())))
+
+
+def collect(results_dir: str) -> "OrderedDict[float, dict]":
+    return collect_all(results_dir)[0]
 
 
 # stage-1 quality columns, in reference show_metrics order
@@ -93,18 +111,7 @@ def collect_detection(results_dir: str) -> "OrderedDict[float, dict]":
     """Per-SNR detector quality from predict_detector's
     eval_results_snr*.json ('prediction_statistics'/'all' — the files
     collect() skips because they carry no denoise stats)."""
-    out = {}
-    for path in glob.glob(os.path.join(results_dir, "eval_results*snr*.json")):
-        m = re.search(r"_snr(-?[0-9_]+)\.json$", path)
-        if not m:
-            continue
-        snr = float(m.group(1).replace("_", "."))
-        with open(path) as fp:
-            payload = json.load(fp)
-        stats = (payload.get("prediction_statistics") or {}).get("all")
-        if stats:
-            out[snr] = stats
-    return OrderedDict(sorted(out.items()))
+    return collect_all(results_dir)[1]
 
 
 def load_quality(path: str) -> "OrderedDict[float, dict]":
@@ -521,8 +528,7 @@ def main() -> None:
     table = None
     detect_table = None
     if args.results_dir:
-        table = collect(args.results_dir)
-        detect_table = collect_detection(args.results_dir)
+        table, detect_table = collect_all(args.results_dir)
         if not table and not detect_table:
             print("no eval_results_snr*.json files found")
     if args.quality:

@@ -32,6 +32,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
+from sos_tpu.eval.speech import pesq_backend
+
 FS = 16000
 
 
@@ -93,14 +95,12 @@ def score_corpus(backend: str = "native", fs: int = FS) -> Dict[str, float]:
 
 
 def conformant_backend() -> str | None:
-    """The first importable conformant P.862 backend, or None."""
-    for mod, name in (("pypesq", "pypesq"), ("pesq", "pesq")):
-        try:
-            __import__(mod)
-            return name
-        except ImportError:
-            continue
-    return None
+    """The first importable conformant P.862 backend, or None.
+
+    Delegates to speech.pesq_backend() so there is exactly ONE probe
+    (and one backend-preference order) in the codebase."""
+    backend = pesq_backend()
+    return None if backend == "native" else backend
 
 
 def main() -> None:

@@ -484,9 +484,10 @@ class StreamingSession:
             return np.zeros(0, np.float32)
         if n <= self.chunk and self._next_den == 0 and self._next_det <= 1:
             # offline single-chunk layout: one fused dispatch, no
-            # crossfade (denoise_many's all_single fast path)
-            return self.d.denoise(self._buf[-n:] if self._base == 0
-                                  else self._buf)
+            # crossfade (denoise_many's all_single fast path). _base is
+            # still 0 here (it only advances after a _denoise_next), so
+            # _buf holds exactly the n pushed samples.
+            return self.d.denoise(self._buf)
         # remaining chunk starts: every k*stride < n (offline layout)
         if self.d.consistent_boundaries:
             while self._next_det * self.stride < n:

@@ -150,3 +150,16 @@ def test_parity_check_full_size_pth_end_to_end(env, monkeypatch, capsys):
         _run_parity(env, monkeypatch, ["--manifest", bad_path])
     assert exc.value.code == 1
     assert "PARITY FAIL" in capsys.readouterr().err
+
+    # manifest lacking the gated metrics must NOT pass vacuously: the
+    # bar is defined on avg_pesq/avg_stoi -> exit 2, not PARITY OK
+    partial = {k: v for k, v in stats.items() if k != "avg_pesq"}
+    partial_path = str(root / "partial_manifest.json")
+    with open(partial_path, "w") as fp:
+        json.dump({"denoise_statistics": partial}, fp)
+    with pytest.raises(SystemExit) as exc:
+        _run_parity(env, monkeypatch, ["--manifest", partial_path])
+    assert exc.value.code == 2
+    captured = capsys.readouterr()
+    assert "PARITY ERROR" in captured.err
+    assert "PARITY OK" not in captured.out
