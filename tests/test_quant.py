@@ -101,6 +101,25 @@ def test_int8_mask_drift_bounded(setup):
     assert float(jnp.abs(qn - ref_noise).max()) < 5e-2
 
 
+def test_bf16_head_proj_drift_bounded(setup):
+    """The default bf16 LSTM input projection (the int8 profile's only
+    non-f32 head op) vs the exact-f32 head: crm drift must stay well
+    under the int8 profile's own 5e-3 budget. On-chip measurement:
+    9.4e-6 crm / 0 detector decision flips, +2.9% two-stage throughput
+    (experiments/bf16_lstm_proj.py)."""
+    cfg, model, v, x, y = setup
+    qb = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")  # default bf16
+    assert qb.bf16_head_proj
+    qb.calibrate([(x, y)])
+    qf = QuantizedDenoiser(cfg, v, inpaint_dtype="int8",
+                           bf16_head_proj=False)
+    qf.calibrate([(x, y)])
+    _, cb = jax.jit(qb.__call__)(x, y)
+    _, cf = jax.jit(qf.__call__)(x, y)
+    drift = float(jnp.abs(cb - cf).max())
+    assert drift < 1e-3, drift
+
+
 def test_out_of_range_inputs_clip_gracefully(setup):
     cfg, model, v, x, y = setup
     q = QuantizedDenoiser(cfg, v, inpaint_dtype="int8")
