@@ -38,6 +38,7 @@ def evaluate_synthetic(
     compute_dtype: str = "float32",
     profile: Optional[str] = None,
     noisy_baseline: bool = False,
+    quant_kwargs: Optional[Dict] = None,
 ) -> OrderedDict:
     """Run batched mix->denoise->metrics; returns avg_* aggregates.
 
@@ -53,6 +54,11 @@ def evaluate_synthetic(
     `noisy_baseline=True` additionally scores the NOISY mixtures against
     clean (`noisy_avg_*` keys) so the report shows the improvement the
     denoiser delivers, not just absolute numbers.
+
+    `quant_kwargs` forwards extra constructor knobs to QuantizedDenoiser
+    for the int8 profile (e.g. bf16_head_proj=False to certify the head
+    projection's quality delta on a trained checkpoint —
+    experiments/bf16_head_trained_cert.py).
     """
     if profile in ("f32", None):
         compute_dtype = "float32"
@@ -65,7 +71,8 @@ def evaluate_synthetic(
         from sos_tpu.models.quant import QuantizedDenoiser
 
         quant = QuantizedDenoiser(cfg.denoiser, denoiser_vars,
-                                  inpaint_dtype="int8")
+                                  inpaint_dtype="int8",
+                                  **(quant_kwargs or {}))
 
     @jax.jit
     def run(variables, clean, noise, snr, bits):

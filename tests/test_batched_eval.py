@@ -191,6 +191,57 @@ def test_synthetic_eval_noisy_baseline():
     assert agg["noisy_avg_overall_snr"] > agg["avg_overall_snr"]
 
 
+@pytest.mark.slow  # two full int8-pipeline compiles (~40 s on 1 core)
+def test_synthetic_eval_int8_profile_and_head_knob():
+    """evaluate_synthetic(profile="int8") self-calibrates and returns
+    finite metrics; quant_kwargs plumbs bf16_head_proj through, and the
+    two head modes agree closely on the quality suite (the in-graph
+    drift bound is pinned by test_quant.py — this pins the eval-surface
+    plumbing end to end)."""
+    import dataclasses
+    import pathlib
+    import tempfile
+
+    from sos_tpu.data.pipeline import DenoiserBatcher
+    from sos_tpu.data.windows import DenoiserWindow
+    from sos_tpu.infer.synthetic_eval import evaluate_synthetic
+
+    cfg = ExperimentConfig(
+        denoiser=DenoiserModelConfig(
+            nf_mixed=4, nf_noise=2, outf_mixed=2, outf_noise=2,
+            kernel_sizes=((1, 7), (5, 5)), dilations=((1, 1), (2, 2)),
+            lstm_hidden=4, fc_hidden=8, inpaint_ch=(4, 6, 8)),
+        data=DataConfig(snr_idx=6))
+    rng = np.random.default_rng(7)
+    sr = cfg.data.sample_rate
+    with tempfile.TemporaryDirectory() as td:
+        wav = pathlib.Path(td) / "c.wav"
+        audio_io.write_wav(str(wav),
+                           rng.standard_normal(sr * 3).astype(np.float32)
+                           * 0.3, sr)
+        windows = [DenoiserWindow(file_index=0, audio_path=str(wav),
+                                  start_sec=0.0, end_sec=2.0,
+                                  bits="1" * 60, framerate=30)]
+        bank = NoiseBank.from_arrays(
+            [rng.standard_normal(sr * 5).astype(np.float32) * 0.2], sr)
+        model = JointDenoiser(cfg.denoiser)
+        dummy = jnp.zeros((1, 256, 178, 2))
+        v = model.init(jr.PRNGKey(0), dummy, dummy)
+        aggs = {}
+        for bf16 in (True, False):
+            batcher = DenoiserBatcher(windows, bank, cfg.data,
+                                      batch_size=1, shuffle=False)
+            aggs[bf16] = evaluate_synthetic(
+                cfg, v, batcher, profile="int8",
+                quant_kwargs={"bf16_head_proj": bf16})
+    for agg in aggs.values():
+        assert agg["num_clips"] == 1
+        assert np.isfinite(agg["avg_stoi"]) and np.isfinite(agg["avg_pesq"])
+    # same int8 trunk, heads differ only in projection dtype
+    assert abs(aggs[True]["avg_stoi"] - aggs[False]["avg_stoi"]) < 1e-3
+    assert abs(aggs[True]["avg_pesq"] - aggs[False]["avg_pesq"]) < 5e-3
+
+
 def test_report_compare_evals(tmp_path, capsys):
     from sos_tpu.cli.report import compare_evals
 
