@@ -19,7 +19,7 @@ COMMANDS = (
     "preprocess", "train_detector", "train_denoiser", "train_joint",
     "predict_detector", "bridge", "predict_denoiser", "report",
     "denoise", "serve", "eval_synthetic", "export_serving",
-    "import_checkpoint", "calibrate", "parity_check",
+    "import_checkpoint", "calibrate", "parity_check", "doctor",
 )
 
 

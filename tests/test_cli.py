@@ -660,3 +660,35 @@ def test_cli_calibrate_offline(cli_env, monkeypatch, tmp_path):
     assert pipe.ensure_calibrated()
     got = pipe._quant.calibration_state()
     assert got == state["denoiser"]
+
+
+def test_cli_doctor(tmp_path, monkeypatch, capsys):
+    """doctor: ok/warn-only environment is exit 0 with machine-readable
+    --json; pointing it at a missing experiment FAILs with exit 1 and
+    the calibration check stays a warn (self-calibration fallback)."""
+    from sos_tpu.cli.doctor import main as doctor_main
+
+    monkeypatch.setattr(sys, "argv", ["prog", "--json"])
+    with pytest.raises(SystemExit) as exc:
+        doctor_main()
+    assert exc.value.code == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"]
+    checks = {c["name"]: c["status"] for c in rep["checks"]}
+    # every environment check ran; on the test CPU backend none may FAIL
+    for name in ("accelerator", "compile-cache", "native-engine",
+                 "media-tools", "pesq-backend"):
+        assert checks[name] in ("ok", "warn"), (name, checks)
+
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--json", "--output_root", str(tmp_path), "--name",
+        "ghost"])
+    with pytest.raises(SystemExit) as exc:
+        doctor_main()
+    assert exc.value.code == 1
+    rep = json.loads(capsys.readouterr().out)
+    assert not rep["ok"]
+    checks = {c["name"]: c["status"] for c in rep["checks"]}
+    assert checks["experiment/detector"] == "FAIL"
+    assert checks["experiment/denoiser"] == "FAIL"
+    assert checks["experiment/int8-calibration"] == "warn"
