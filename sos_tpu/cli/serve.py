@@ -25,12 +25,17 @@ first request.
 
 The serve loop is a three-stage pipeline over bounded queues:
 
-    reader/decoder thread  ->  device compute (main)  ->  writer thread
+    reader/decoder thread  ->  device dispatch (main)  ->  writer thread
 
 so the host decodes request N+1 and writes result N-1 WHILE the chip
-denoises request N — the chip never idles on request I/O. Responses to
-denoise requests are emitted in request order; PONG is emitted
-immediately by the reader (liveness must not queue behind compute).
+denoises request N — the chip never idles on request I/O. With an
+async-capable denoiser (StreamingDenoiser.denoise_many_async) the
+middle stage only DISPATCHES device work (JAX async dispatch): the
+blocking result fetch moves to the writer thread, so the chip also
+stays busy across batch boundaries instead of idling while batch N's
+results transfer back and its WAVs are written. Responses to denoise
+requests are emitted in request order; PONG is emitted immediately by
+the reader (liveness must not queue behind compute).
 """
 
 import argparse
@@ -64,13 +69,25 @@ class ServeLoop:
     """
 
     def __init__(self, denoise, load, write, sample_rate: int,
-                 emit=None, depth: int = 4, denoise_many=None):
+                 emit=None, depth: int = 4, denoise_many=None,
+                 denoise_many_async=None):
         """`denoise_many([wav, ...]) -> [wav, ...]` (optional): batch
         concurrent requests into shared device dispatches (e.g.
         StreamingDenoiser.denoise_many); falls back to per-request
-        `denoise` when absent."""
+        `denoise` when absent.
+
+        `denoise_many_async([wav, ...]) -> finalize` (optional): like
+        denoise_many but split into a non-blocking device DISPATCH (the
+        return) and a blocking `finalize() -> [wav, ...]` fetch. When
+        present, the compute stage only dispatches: the writer thread
+        runs finalize, so the chip computes request batch N while the
+        main loop dispatches batch N+1 and the writer fetches/writes
+        batch N-1 — the device never idles between batches the way a
+        synchronous compute stage leaves it idle during every result
+        fetch + WAV write."""
         self.denoise = denoise
         self.denoise_many = denoise_many
+        self.denoise_many_async = denoise_many_async
         self.load = load
         self.write = write
         self.sample_rate = sample_rate
@@ -123,6 +140,17 @@ class ServeLoop:
         order (errors stay at their position relative to the requests
         drained with them); '__done__' sentinels are skipped."""
         reqs = [payload for kind, payload, _ in batch if kind == "req"]
+        if reqs and self.denoise_many_async is not None:
+            # pipelined path: dispatch here, fetch in the writer — the
+            # next batch's dispatch overlaps this one's compute/fetch
+            try:
+                fin = self.denoise_many_async([wav for _, wav, _ in reqs])
+            except Exception:
+                fin = None  # dispatch failed: isolate per request below
+            if fin is not None:
+                entries = [e for e in batch if e[0] != "__done__"]
+                q_out.put(("batch", (fin, entries), None))
+                return
         # outs[i]: denoised wav or ("err", msg) — a failing request
         # must NOT poison the others drained with it
         outs: list = []
@@ -241,6 +269,58 @@ class ServeLoop:
             finally:
                 q_dec.put(_DONE)
 
+        def finish_one(kind, payload, err):
+            """Emit one response (ERR, or write + OK)."""
+            if kind == "err":
+                self.n_err += 1
+                self.emit(f"ERR {err}")
+                return
+            dst, out, secs, t0 = payload
+            try:
+                self.write(dst, out, self.sample_rate)
+            except Exception as exc:
+                self.n_err += 1
+                self.emit(f"ERR {_one_line(exc)}")
+                return
+            wall = time.perf_counter() - t0
+            self.n_ok += 1
+            self.audio_s += secs
+            self.emit(f"OK {dst} {secs:.2f} {wall:.2f}")
+
+        def finish_batch(payload):
+            """Pipelined batch: fetch the dispatched results here (the
+            main loop is already dispatching the NEXT batch), then emit
+            responses in arrival order."""
+            fin, entries = payload
+            reqs = [p for k, p, _ in entries if k == "req"]
+            t_busy = time.perf_counter()
+            try:
+                outs = list(fin())
+            except Exception:
+                # a failing request must not poison the batch: re-run
+                # per request (rare path; compute lands on this thread)
+                outs = []
+                for _, wav, _ in reqs:
+                    try:
+                        outs.append(self.denoise(wav))
+                    except Exception as exc:
+                        outs.append(("err", _one_line(exc)))
+            # busy_s sums the writer-side fetch walls — non-overlapping
+            # (single writer thread), so STATS rtf stays meaningful
+            self.busy_s += time.perf_counter() - t_busy
+            it = iter(outs)
+            for kind, payload, err in entries:
+                if kind == "err":
+                    finish_one("err", None, err)
+                    continue
+                out = next(it)
+                if isinstance(out, tuple) and out[0] == "err":
+                    finish_one("err", None, out[1])
+                    continue
+                dst, wav, t0 = payload
+                finish_one("req", (dst, out,
+                                   len(wav) / self.sample_rate, t0), None)
+
         def writer():
             # A dead client (BrokenPipeError from emit) must NOT strand
             # the pipeline: record the failure and keep DRAINING the
@@ -252,21 +332,10 @@ class ServeLoop:
                 if self._emit_failed is not None:
                     continue  # drain without emitting
                 try:
-                    if kind == "err":
-                        self.n_err += 1
-                        self.emit(f"ERR {err}")
-                        continue
-                    dst, out, secs, t0 = payload
-                    try:
-                        self.write(dst, out, self.sample_rate)
-                    except Exception as exc:
-                        self.n_err += 1
-                        self.emit(f"ERR {_one_line(exc)}")
-                        continue
-                    wall = time.perf_counter() - t0
-                    self.n_ok += 1
-                    self.audio_s += secs
-                    self.emit(f"OK {dst} {secs:.2f} {wall:.2f}")
+                    if kind == "batch":
+                        finish_batch(payload)
+                    else:
+                        finish_one(kind, payload, err)
                 except Exception as exc:  # emit itself failed
                     self._emit_failed = exc
 
@@ -356,6 +425,7 @@ def main() -> None:
     loop = ServeLoop(
         denoise=stream.denoise,
         denoise_many=stream.denoise_many,
+        denoise_many_async=stream.denoise_many_async,
         load=lambda p: audio_io.load(p, sr=cfg.data.sample_rate),
         write=audio_io.write_wav,
         sample_rate=cfg.data.sample_rate)

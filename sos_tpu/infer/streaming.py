@@ -33,6 +33,7 @@ crossfade gate the same silence decisions.
 
 from __future__ import annotations
 
+from collections import deque
 from typing import Dict
 
 import numpy as np
@@ -49,7 +50,8 @@ class StreamingDenoiser:
                  threshold: float = 0.5, compute_dtype: str = "float32",
                  consistent_boundaries: bool = True, profile: str = None,
                  calibration_path: str = None,
-                 transfer_dtype: str = "float32"):
+                 transfer_dtype: str = "float32",
+                 pipeline_depth: int = 2):
         """`transfer_dtype="int16"` ships waveform chunks to the device
         and denoised audio back as int16 wire samples (fused.py wire
         format): HALF the transfer bytes each way — the dominant serving
@@ -62,7 +64,17 @@ class StreamingDenoiser:
         bf16/int8 profiles, bounded in tests/test_infer.py. Output
         samples past full scale clamp to [-1, 32767/32768], exactly as
         audio_io.write_wav's 16-bit PCM encode would clip them anyway.
-        The API still takes/returns float32 waveforms."""
+        Note the clamp applies on INPUT too: over-unity input floats
+        (non-PCM sources above full scale) are hard-clipped to
+        [-1, 32767/32768] by the wire encode before the STFT ever sees
+        them — use the default float32 transfer for such material.
+        The API still takes/returns float32 waveforms.
+
+        `pipeline_depth`: how many chunk-batch dispatches may be in
+        flight on the device at once (see `_batched_async`). Depth 2 is
+        enough to overlap bucket N+1's host->device transfer with
+        bucket N's compute; each extra unit of depth holds one more
+        input+output bucket in HBM (~30 MB at the nominal geometry)."""
         if transfer_dtype not in ("float32", "int16"):
             raise ValueError(f"transfer_dtype must be float32|int16, "
                              f"got {transfer_dtype!r}")
@@ -93,6 +105,8 @@ class StreamingDenoiser:
         self.stride = self.valid - self.overlap
         self.batch_chunks = batch_chunks
         self.consistent_boundaries = consistent_boundaries
+        assert pipeline_depth >= 1, pipeline_depth
+        self.pipeline_depth = pipeline_depth
 
     def _weights(self) -> np.ndarray:
         w = np.ones(self.valid, dtype=np.float32)
@@ -159,8 +173,22 @@ class StreamingDenoiser:
         Per-utterance outputs are identical to `denoise` one at a time:
         chunking, bit reconciliation and overlap-add stay per-utterance.
         """
+        return self.denoise_many_async(waveforms)()
+
+    def denoise_many_async(self, waveforms):
+        """Dispatch `denoise_many` WITHOUT waiting; returns a
+        `finalize() -> [wav, ...]` callable that blocks for the results.
+
+        The dispatch side only ENQUEUES device work (JAX async dispatch
+        — see `_batched_async`), so a caller can overlap the blocking
+        fetch + host overlap-add of request batch N with the dispatch of
+        batch N+1 by running `finalize` on another thread (the serve
+        loop's writer does exactly that). `finalize` must be called
+        exactly once; calling it from a different thread than the
+        dispatch is safe (compiled-program execution is thread-safe in
+        JAX)."""
         if not waveforms:
-            return []
+            return lambda: []
         slices = []  # (start_row, starts, n) per utterance
         all_chunks = []
         row = 0
@@ -187,15 +215,32 @@ class StreamingDenoiser:
         # for a lone request), not to the full batch_chunks width.
         all_single = all(len(starts) == 1 for _, starts, _ in slices)
         if self.consistent_boundaries and not all_single:
-            bits = self._batched(self.pipeline.detect_bits, [stacked])
-            for r, starts, _ in slices:
-                bits[r:r + len(starts)] = self.reconcile_bits(
-                    bits[r:r + len(starts)], starts)
-            denoised = self._batched(self.pipeline.denoise_with_bits,
-                                     [stacked, bits])
-        else:
-            denoised = self._one_pass(stacked)
+            # two-pass: the detect dispatch goes out now; the bits fetch,
+            # host reconciliation, denoise dispatch+fetch and overlap-add
+            # all wait inside finalize (reconciliation is a host step, so
+            # the second pass cannot be enqueued before the first lands)
+            detect_fin = self._batched_async(self.pipeline.detect_bits,
+                                             [stacked])
 
+            def finalize():
+                bits = detect_fin()
+                for r, starts, _ in slices:
+                    bits[r:r + len(starts)] = self.reconcile_bits(
+                        bits[r:r + len(starts)], starts)
+                denoised = self._batched(self.pipeline.denoise_with_bits,
+                                         [stacked, bits])
+                return self._assemble(denoised, slices)
+        else:
+            fin = self._batched_async(lambda m: self.pipeline(m)[0],
+                                      [stacked])
+
+            def finalize():
+                return self._assemble(fin(), slices)
+
+        return finalize
+
+    def _assemble(self, denoised: np.ndarray, slices) -> list:
+        """Per-utterance crossfade/trim of the stacked denoised chunks."""
         w = self._weights()
         outs = []
         for r, starts, n in slices:
@@ -233,23 +278,51 @@ class StreamingDenoiser:
     # ------------------------------------------------------------------
 
     def _batched(self, fn, arrays):
-        """Run `fn` over fixed-size chunk batches.
+        """Run `fn` over fixed-size chunk batches; blocks for the result.
+        See `_batched_async` for the batching/pipelining rules."""
+        return self._batched_async(fn, arrays)()
 
-        A partial batch (the tail, or a short request smaller than
-        ``batch_chunks``) pads only to the next power of two, not to the
-        full width — so the serve loop's common case, ONE 2 s chunk,
-        dispatches a width-1 program instead of paying a mostly-empty
-        ``batch_chunks``-wide batch. Bucketing bounds recompilation to
-        log2(batch_chunks) program shapes, each cached after first use.
-        """
+    def _batched_async(self, fn, arrays):
+        """Dispatch `fn` over fixed-size chunk batches without waiting;
+        returns `finalize() -> stacked results`.
+
+        Bucketing: a partial batch (the tail, or a short request smaller
+        than ``batch_chunks``) pads only to the next power of two, not
+        to the full width — so the serve loop's common case, ONE 2 s
+        chunk, dispatches a width-1 program instead of paying a
+        mostly-empty ``batch_chunks``-wide batch. Bucketing bounds
+        recompilation to log2(batch_chunks) program shapes, each cached
+        after first use.
+
+        Pipelining: JAX dispatch is asynchronous — `jnp.asarray` (H2D)
+        and the jitted `fn` call only enqueue work — so bucket N+1's
+        transfer+compute is enqueued BEFORE bucket N's blocking D2H
+        fetch, overlapping transfer with compute instead of the old
+        strictly sequential encode -> dispatch -> fetch per bucket. At
+        most `pipeline_depth` dispatches are kept in flight (the oldest
+        is fetched when the window fills), bounding device memory; the
+        remaining fetches happen in `finalize`, typically on another
+        thread while the caller dispatches more work."""
         if self.transfer_dtype == "int16":
-            # arrays[0] is always the waveform chunks at every call
-            # site; later arrays (reconciled bits) stay float32
+            # Only f32 waveform chunks take the wire encode; later arrays
+            # (reconciled bits) stay float32. Enforced, not assumed: a
+            # call site passing bits or pre-encoded data first would be
+            # silently corrupted by a second encode.
+            assert (arrays[0].dtype == np.float32
+                    and arrays[0].shape[-1] == self.chunk), (
+                "wire encode expects f32 waveform chunks first, got "
+                f"{arrays[0].dtype} {arrays[0].shape}")
             from sos_tpu.infer.fused import wire_encode
 
             arrays = [wire_encode(arrays[0]), *arrays[1:]]
         n = len(arrays[0])
         outs = []
+        pending = deque()  # (device result, real rows) FIFO
+
+        def _fetch_one():
+            out, real = pending.popleft()
+            outs.append(np.asarray(out)[:real])
+
         for b in range(0, n, self.batch_chunks):
             tiles = [a[b:b + self.batch_chunks] for a in arrays]
             real = len(tiles[0])
@@ -258,14 +331,21 @@ class StreamingDenoiser:
                 tiles = [np.concatenate(
                     [t, np.zeros((width - real,) + t.shape[1:],
                                  dtype=t.dtype)]) for t in tiles]
-            out = fn(*[jnp.asarray(t) for t in tiles])
-            outs.append(np.asarray(out)[:real])
-        result = np.concatenate(outs, axis=0)
-        if result.dtype == np.int16:  # wire-format denoised audio
-            from sos_tpu.infer.fused import wire_decode
+            pending.append((fn(*[jnp.asarray(t) for t in tiles]), real))
+            while len(pending) > self.pipeline_depth:
+                _fetch_one()
 
-            result = wire_decode(result)
-        return result
+        def finalize():
+            while pending:
+                _fetch_one()
+            result = np.concatenate(outs, axis=0)
+            if result.dtype == np.int16:  # wire-format denoised audio
+                from sos_tpu.infer.fused import wire_decode
+
+                result = wire_decode(result)
+            return result
+
+        return finalize
 
     def _one_pass(self, chunks: np.ndarray) -> np.ndarray:
         return self._batched(lambda m: self.pipeline(m)[0], [chunks])

@@ -371,6 +371,109 @@ def test_serve_loop_overlaps_io_with_compute():
     assert wall < serial * 0.75, (wall, serial)
 
 
+def test_serve_loop_async_dispatch_overlaps_fetch():
+    """With denoise_many_async, the compute stage only DISPATCHES:
+    batch N+1's dispatch happens while the writer is still fetching
+    batch N (the chip-keeps-busy-across-batches pipelining), and
+    responses still come back in request order."""
+    import threading
+    import time
+
+    from sos_tpu.cli.serve import ServeLoop
+
+    D = 0.1
+    emitted = []
+    log, log_lock = [], threading.Lock()
+
+    def dma(wavs):
+        with log_lock:
+            log.append(("dispatch", time.perf_counter()))
+
+        def fin():
+            time.sleep(D)  # the blocking device fetch
+            with log_lock:
+                log.append(("finalized", time.perf_counter()))
+            return list(wavs)
+
+        return fin
+
+    def load(path):
+        return np.full(1400, float(path[2]), np.float32), 14000
+
+    loop = ServeLoop(denoise=lambda w: w, load=load,
+                     write=lambda *a: None, sample_rate=14000,
+                     emit=emitted.append, depth=2,
+                     denoise_many_async=dma)
+    k = 8
+    reqs = [f"in{i}.wav\tout{i}.wav" for i in range(k)] + ["QUIT"]
+    loop.run(iter(reqs))
+
+    oks = [ln.split()[1] for ln in emitted if ln.startswith("OK ")]
+    assert oks == [f"out{i}.wav" for i in range(k)]
+    assert emitted[-1] == "BYE"
+    dispatches = [t for kind, t in log if kind == "dispatch"]
+    finalized = [t for kind, t in log if kind == "finalized"]
+    assert len(dispatches) >= 2
+    # the second batch was dispatched before the first batch's fetch
+    # completed — i.e. the main loop did not block on the writer
+    assert dispatches[1] < finalized[0], (dispatches, finalized)
+
+
+def test_serve_loop_async_finalize_failure_isolates_requests():
+    """A failing pipelined batch falls back to per-request denoise in
+    the writer: one poisoned request yields one ERR, the others drained
+    with it still succeed, all in arrival order."""
+    from sos_tpu.cli.serve import ServeLoop
+
+    emitted = []
+
+    def dma(wavs):
+        def fin():
+            raise RuntimeError("device fell over")
+
+        return fin
+
+    def denoise(wav):
+        if wav[0] > 1.5:  # the poisoned request
+            raise ValueError("bad audio")
+        return wav
+
+    def load(path):
+        return np.full(1400, float(path[2]), np.float32), 14000
+
+    loop = ServeLoop(denoise=denoise, load=load, write=lambda *a: None,
+                     sample_rate=14000, emit=emitted.append, depth=4,
+                     denoise_many_async=dma)
+    reqs = ["in0.wav\tout0.wav", "in2.wav\tout2.wav",
+            "in1.wav\tout1.wav", "QUIT"]
+    loop.run(iter(reqs))
+    lines = [ln for ln in emitted if ln.startswith(("OK ", "ERR "))]
+    assert len(lines) == 3
+    assert lines[0].startswith("OK out0.wav")
+    assert lines[1].startswith("ERR") and "bad audio" in lines[1]
+    assert lines[2].startswith("OK out1.wav")
+    assert loop.n_ok == 2 and loop.n_err == 1
+
+
+def test_serve_loop_async_dispatch_failure_falls_back():
+    """denoise_many_async raising at DISPATCH time (bad batch) drops to
+    the synchronous per-request path — requests still answered."""
+    from sos_tpu.cli.serve import ServeLoop
+
+    emitted = []
+
+    def dma(wavs):
+        raise RuntimeError("dispatch exploded")
+
+    loop = ServeLoop(denoise=lambda w: w,
+                     load=lambda p: (np.zeros(1400, np.float32), 14000),
+                     write=lambda *a: None, sample_rate=14000,
+                     emit=emitted.append, denoise_many_async=dma)
+    loop.run(iter(["a.wav\tout_a.wav", "QUIT"]))
+    assert any(ln.startswith("OK out_a.wav") for ln in emitted)
+    assert loop.n_ok == 1 and loop.n_err == 0
+
+
 def test_top_level_dispatcher(capsys):
     """`python -m sos_tpu <cmd>` resolves every CLI from one entry."""
     from sos_tpu.__main__ import COMMANDS, main

@@ -417,6 +417,86 @@ def test_batched_pads_to_pow2_bucket_not_full_width(tiny, rng):
         assert widths == (want if isinstance(want, list) else [want])
 
 
+def test_denoise_many_async_matches_sync(tiny, rng):
+    """denoise_many_async's finalize returns exactly denoise_many's
+    outputs (the pipelined serve path must not change results)."""
+    cfg, det_vars, den_vars = tiny
+    s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=0.5, batch_chunks=4)
+    waves = [rng.standard_normal(n).astype(np.float32) * 0.2
+             for n in (9000, 70000, 30000)]
+    sync = s.denoise_many(waves)
+    fin = s.denoise_many_async(waves)
+    for a, b in zip(sync, fin()):
+        np.testing.assert_array_equal(a, b)
+    assert s.denoise_many_async([])() == []
+
+
+class _LazyFetch:
+    """Stand-in device result: records WHEN the host fetches it."""
+
+    def __init__(self, arr, tag, log):
+        self.arr, self.tag, self.log = np.asarray(arr), tag, log
+
+    def __array__(self, dtype=None, copy=None):
+        self.log.append(("fetch", self.tag))
+        return self.arr if dtype is None else self.arr.astype(dtype)
+
+
+def test_batched_async_pipelines_dispatch_before_fetch(tiny, rng):
+    """_batched_async enqueues bucket N+1 BEFORE fetching bucket N
+    (bounded by pipeline_depth), instead of the old strictly sequential
+    dispatch -> fetch per bucket — the overlap that keeps the chip busy
+    during host transfers. Results keep bucket order regardless."""
+    cfg, det_vars, den_vars = tiny
+    s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=0.5, batch_chunks=2,
+                          pipeline_depth=2)
+    log = []
+
+    def probe(m):
+        i = len([e for e in log if e[0] == "dispatch"])
+        log.append(("dispatch", i))
+        return _LazyFetch(np.asarray(m), i, log)
+
+    chunks = rng.standard_normal((8, s.chunk)).astype(np.float32) * 0.1
+    fin = s._batched_async(probe, [chunks])
+    # 4 buckets of width 2; with depth 2: d0, d1, d2 -> f0, d3 -> f1;
+    # finalize drains f2, f3. The pin: bucket 1's dispatch precedes
+    # bucket 0's fetch, and fetches stay in order.
+    assert log.index(("dispatch", 1)) < log.index(("fetch", 0))
+    pre_finalize_fetches = len([e for e in log if e[0] == "fetch"])
+    assert pre_finalize_fetches == 2  # window bound: depth in flight
+    out = fin()
+    fetches = [t for k, t in log if k == "fetch"]
+    assert fetches == sorted(fetches)
+    np.testing.assert_array_equal(out, chunks)
+
+
+def test_batched_async_depth_one_is_sequential(tiny, rng):
+    """pipeline_depth=1 degrades to at most one in-flight dispatch
+    (memory-constrained hosts) with identical results."""
+    cfg, det_vars, den_vars = tiny
+    s = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
+                          overlap_seconds=0.5, batch_chunks=2,
+                          pipeline_depth=1)
+    log = []
+
+    def probe(m):
+        i = len([e for e in log if e[0] == "dispatch"])
+        log.append(("dispatch", i))
+        return _LazyFetch(np.asarray(m), i, log)
+
+    chunks = rng.standard_normal((6, s.chunk)).astype(np.float32) * 0.1
+    out = s._batched(probe, [chunks])
+    np.testing.assert_array_equal(out, chunks)
+    # never more than 1 un-fetched dispatch
+    in_flight = 0
+    for kind, _ in log:
+        in_flight += 1 if kind == "dispatch" else -1
+        assert in_flight <= 2  # the just-dispatched + at most depth(1)
+
+
 @pytest.mark.slow
 def test_warmup_precompiles_buckets_and_denoise_still_exact(tiny, rng):
     """warmup() compiles every pow2 bucket width and changes nothing
