@@ -49,6 +49,11 @@ def main() -> None:
     parser.add_argument("--denoiser_ckpt", type=str, default="latest")
     parser.add_argument("--detector_pth", type=str, default=None)
     parser.add_argument("--denoiser_pth", type=str, default=None)
+    parser.add_argument("--exact_f32_head", action="store_true",
+                        help="int8 profile: exact-f32 LSTM input "
+                             "projection instead of the default bf16 "
+                             "(for artifacts pinning pre-r4 int8 "
+                             "outputs bit-for-bit)")
     args = parser.parse_args()
 
     cfg = config_from_args(args, stage="export")
@@ -68,7 +73,8 @@ def main() -> None:
         cfg, det_vars, den_vars, args.output, batch=args.batch,
         clip_seconds=args.clip_seconds, threshold=args.threshold,
         profile=args.profile, calibration_path=calib,
-        platforms=args.platforms, wire_dtype=args.transfer_dtype)
+        platforms=args.platforms, wire_dtype=args.transfer_dtype,
+        bf16_head_proj=not args.exact_f32_head)
     size = os.path.getsize(path)
     print(f"exported {path} ({size / 1e6:.1f} MB, "
           f"platforms={args.platforms}, profile={args.profile}, "

@@ -539,16 +539,20 @@ def main() -> None:
             qtable.update(table)
         table = OrderedDict(sorted(qtable.items()))
 
+    # Column sets are the UNION across rows, not the first row's keys:
+    # --quality rows merged with results_dir rows can carry different
+    # metric subsets, and a column present only in later rows must not
+    # silently vanish from the table.
     if detect_table:
         keys = [k for k in DETECT_KEYS
-                if k in next(iter(detect_table.values()))]
+                if any(k in s for s in detect_table.values())]
         print("detection: snr_db " + " ".join(keys))
         for snr, stats in detect_table.items():
             print(f"{snr:+.0f} " + " ".join(
                 f"{stats.get(k, float('nan')):.4f}" for k in keys))
     if table:
         keys = [k for k in METRIC_KEYS
-                if k in next(iter(table.values()))]
+                if any(k in s for s in table.values())]
         print("snr_db " + " ".join(k.replace("avg_", "") for k in keys))
         for snr, stats in table.items():
             print(f"{snr:+.0f} " + " ".join(

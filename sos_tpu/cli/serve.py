@@ -397,6 +397,11 @@ def main() -> None:
                         help="wire dtype for host<->device waveforms; "
                              "int16 halves transfer bytes (lossless for "
                              "16-bit PCM inputs, output within 1/65536)")
+    parser.add_argument("--exact_f32_head", action="store_true",
+                        help="int8 profile: exact-f32 LSTM input "
+                             "projection instead of the default bf16 "
+                             "(for deployments pinning pre-r4 int8 "
+                             "outputs bit-for-bit)")
     parser.add_argument("--warmup", action="store_true",
                         help="precompile every power-of-two chunk-batch "
                              "width before READY so no request ever "
@@ -420,7 +425,8 @@ def main() -> None:
         cfg, det_vars, den_vars, chunk_seconds=args.chunk_seconds,
         overlap_seconds=args.overlap_seconds, threshold=args.threshold,
         profile=args.profile, calibration_path=calib,
-        transfer_dtype=args.transfer_dtype)
+        transfer_dtype=args.transfer_dtype,
+        bf16_head_proj=not args.exact_f32_head)
 
     loop = ServeLoop(
         denoise=stream.denoise,

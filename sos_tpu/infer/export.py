@@ -49,6 +49,7 @@ def export_denoise_program(
     calibration_path: str = None,
     platforms: Sequence[str] = ("tpu", "cpu"),
     wire_dtype: str = "float32",
+    bf16_head_proj: bool = True,
 ) -> str:
     """Serialize the fused pipeline for a fixed (batch, clip) shape.
 
@@ -65,7 +66,8 @@ def export_denoise_program(
                                 threshold=threshold,
                                 clip_seconds=clip_seconds, profile=profile,
                                 calibration_path=calibration_path,
-                                wire_dtype=wire_dtype)
+                                wire_dtype=wire_dtype,
+                                bf16_head_proj=bf16_head_proj)
     if pipe._quant is not None:
         if not calibration_path:
             raise ValueError(

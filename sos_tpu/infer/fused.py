@@ -70,7 +70,7 @@ class FusedDenoisePipeline:
                  denoiser_vars: Dict, threshold: float = 0.5,
                  clip_seconds: float = 2.0, compute_dtype: str = "float32",
                  profile: str = None, calibration_path: str = None,
-                 wire_dtype: str = "float32"):
+                 wire_dtype: str = "float32", bf16_head_proj: bool = True):
         """`profile`: "f32" | "bf16" | "int8" — the bench.py profiles.
         f32/bf16 map onto `compute_dtype`; "int8" swaps the denoiser for
         the quantized packed pipeline (models/quant.py; detector runs
@@ -87,7 +87,14 @@ class FusedDenoisePipeline:
         waveform leaves the device in. int16 halves the output transfer
         (see the wire-format note above); callers decode with
         `wire_decode`. Input chunks may be int16 wire samples in either
-        mode (the programs ingest both dtypes)."""
+        mode (the programs ingest both dtypes).
+
+        `bf16_head_proj` (int8 profile only): run the LSTM input
+        projection in bf16 (+2.9% two-stage throughput, certified
+        quality-neutral on trained checkpoints — docs/EXPERIMENTS.md).
+        False restores the exact-f32 head for deployments pinning
+        pre-r4 int8 outputs (exposed as --exact_f32_head on the
+        serve/denoise/export_serving CLIs)."""
         if wire_dtype not in ("float32", "int16"):
             raise ValueError(f"wire_dtype must be float32|int16, "
                              f"got {wire_dtype!r}")
@@ -120,8 +127,10 @@ class FusedDenoisePipeline:
                                               QuantizedDetector)
 
             self._quant = QuantizedDenoiser(cfg.denoiser, denoiser_vars,
-                                            inpaint_dtype="int8")
-            self._quant_det = QuantizedDetector(cfg.detector, detector_vars)
+                                            inpaint_dtype="int8",
+                                            bf16_head_proj=bf16_head_proj)
+            self._quant_det = QuantizedDetector(cfg.detector, detector_vars,
+                                                bf16_head_proj=bf16_head_proj)
             self._run = self._build_int8()
         else:
             self._run = self._build()

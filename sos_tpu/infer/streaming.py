@@ -51,7 +51,7 @@ class StreamingDenoiser:
                  consistent_boundaries: bool = True, profile: str = None,
                  calibration_path: str = None,
                  transfer_dtype: str = "float32",
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2, bf16_head_proj: bool = True):
         """`transfer_dtype="int16"` ships waveform chunks to the device
         and denoised audio back as int16 wire samples (fused.py wire
         format): HALF the transfer bytes each way — the dominant serving
@@ -84,7 +84,7 @@ class StreamingDenoiser:
             cfg, detector_vars, denoiser_vars, threshold=threshold,
             clip_seconds=chunk_seconds, compute_dtype=compute_dtype,
             profile=profile, calibration_path=calibration_path,
-            wire_dtype=transfer_dtype)
+            wire_dtype=transfer_dtype, bf16_head_proj=bf16_head_proj)
         sr = cfg.data.sample_rate
         hop = cfg.stft.hop_length
         self.chunk = self.pipeline.clip_samples

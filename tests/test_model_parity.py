@@ -174,3 +174,38 @@ def test_denoiser_parity_padded(rng):
     np.testing.assert_allclose(
         np.asarray(our_mask).transpose(0, 3, 1, 2), ref_mask.numpy(),
         atol=1e-4, rtol=1e-3)
+
+
+def test_detector_smoke_parity_vs_reference_networks_py(rng):
+    """Fast-tier smoke against the reference's OWN networks.py (not a
+    transcribed oracle): the full-size AudioVisualNet on a SHORT input
+    (T=40 instead of 178), so the default `pytest` gate always
+    exercises at least one direct reference-code comparison — the
+    full-length versions live in the slow tier
+    (tests/test_reference_parity.py)."""
+    import importlib.util
+
+    path = ("/root/reference/model_1_silent_interval_detection/"
+            "audioonly_model/networks.py")
+    spec = importlib.util.spec_from_file_location("ref_m1_smoke", path)
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    torch.manual_seed(42)
+    net = ref_mod.AudioVisualNet()  # full widths: 11 blocks, nf=48
+    gen = torch.Generator().manual_seed(43)
+    with torch.no_grad():
+        randomize_bn_stats(net, gen)
+    net.eval()
+    x = rng.standard_normal((1, 2, 256, 40)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x)).numpy()
+
+    model = SilenceDetector(DetectorModelConfig())
+    variables = detector_torch_to_flax(_state_np(net))
+    ours = np.asarray(model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), num_frames=ref.shape[1]))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
