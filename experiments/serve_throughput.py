@@ -29,6 +29,9 @@ N_REQ = int(os.environ.get("N_REQ", "64"))
 SECONDS = float(os.environ.get("SECONDS", "2"))
 BATCH_CHUNKS = int(os.environ.get("BATCH_CHUNKS", "64"))
 WIRE = os.environ.get("WIRE", "float32")  # int16: half the wire bytes
+# ASYNC=0: disable the r5 pipelined dispatch->writer-fetch path (the
+# synchronous compute stage) for a same-session A/B
+ASYNC = os.environ.get("ASYNC", "1") != "0"
 
 
 def main():
@@ -58,7 +61,9 @@ def main():
 
     emitted = []
     loop = ServeLoop(s.denoise, audio_io.read_wav, audio_io.write_wav,
-                     sr, emit=emitted.append, denoise_many=s.denoise_many)
+                     sr, emit=emitted.append, denoise_many=s.denoise_many,
+                     denoise_many_async=s.denoise_many_async if ASYNC
+                     else None)
 
     # Warm pass: the greedy drain batches up to `depth` requests, so the
     # burst exercises bucket widths 1/2/4 — run the whole burst once so
@@ -78,6 +83,7 @@ def main():
     print(json.dumps({
         "requests": N_REQ, "request_seconds": SECONDS,
         "batch_chunks": BATCH_CHUNKS, "wire": WIRE, "ok": ok,
+        "pipelined": ASYNC,
         "wall_s": round(wall, 2),
         "cold_wall_s": round(cold_wall, 2),
         "requests_per_s": round(N_REQ / wall, 1),

@@ -31,6 +31,10 @@ MANY = bool(os.environ.get("MANY"))
 # WIRE=int16 ships chunks/outputs as int16 (half the transfer bytes —
 # the dominant cost over a tunnel, see ROADMAP streaming decomposition)
 WIRE = os.environ.get("WIRE", "float32")
+# DEPTH: _batched_async in-flight window (default 2 = the r5 pipelined
+# path). DEPTH=0 restores the pre-r5 strictly serial
+# dispatch -> fetch per bucket, the A/B baseline.
+DEPTH = int(os.environ.get("DEPTH", "2"))
 
 
 def main():
@@ -52,12 +56,16 @@ def main():
 
     results = {"mode": "denoise_many" if MANY else "denoise",
                "utts": UTTS, "seconds": SECONDS,
-               "batch_chunks": BATCH_CHUNKS, "wire": WIRE}
+               "batch_chunks": BATCH_CHUNKS, "wire": WIRE,
+               "pipeline_depth": DEPTH}
     for mode, consistent in (("one_pass", False), ("two_pass", True)):
         s = StreamingDenoiser(cfg, det_vars, den_vars,
                               batch_chunks=BATCH_CHUNKS, profile="int8",
                               consistent_boundaries=consistent,
-                              transfer_dtype=WIRE)
+                              transfer_dtype=WIRE,
+                              pipeline_depth=max(DEPTH, 1))
+        if DEPTH == 0:  # serial baseline: fetch right after each dispatch
+            s.pipeline_depth = 0
         if MANY:
             run = s.denoise_many
         else:

@@ -73,6 +73,14 @@ def main() -> None:
                         help="write the delta report JSON here")
     args = parser.parse_args()
 
+    # Read the manifest BEFORE running the pipeline: evaluate_denoiser
+    # writes eval_results_snr*.json into --outputs, so a manifest path
+    # inside that directory (e.g. a previous run of this harness) would
+    # otherwise be OVERWRITTEN by this run's own statistics and the
+    # comparison would vacuously pass against itself. (Caught by
+    # tests/test_parity_check_control.py.)
+    ref = _manifest_stats(args.manifest) if args.manifest else None
+
     cfg = config_from_args(args, stage="parity")
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, snr_idx=args.snr_idx))
@@ -114,12 +122,11 @@ def main() -> None:
     for k, v in ours.items():
         print(f"  {k:<18} {v: .4f}")
 
-    if not args.manifest:
+    if ref is None:
         print("\nno --manifest given: statistics printed only. Diff a "
               "reference run by passing its eval_results JSON.")
         return
 
-    ref = _manifest_stats(args.manifest)
     report = {"snr": snr, "tolerance": args.tolerance, "ours": ours,
               "reference": ref, "delta": {}}
     print(f"\ndelta vs {args.manifest} (ours - reference):")
