@@ -89,12 +89,12 @@ class FusedDenoisePipeline:
         `wire_decode`. Input chunks may be int16 wire samples in either
         mode (the programs ingest both dtypes).
 
-        `bf16_head_proj` (int8 profile only): run the LSTM input
-        projection in bf16 (+2.9% two-stage throughput, certified
-        quality-neutral on trained checkpoints — docs/EXPERIMENTS.md).
-        False restores the exact-f32 head for deployments pinning
-        pre-r4 int8 outputs (exposed as --exact_f32_head on the
-        serve/denoise/export_serving CLIs)."""
+        `bf16_head_proj` (bf16/int8 profiles; the f32 profile always
+        keeps the exact head): run the LSTM input projection in bf16
+        (int8: +2.9% two-stage, certified quality-neutral on trained
+        checkpoints — docs/EXPERIMENTS.md). False restores the exact-f32
+        head (exposed as --exact_f32_head on the serve/denoise/
+        export_serving CLIs)."""
         if wire_dtype not in ("float32", "int16"):
             raise ValueError(f"wire_dtype must be float32|int16, "
                              f"got {wire_dtype!r}")
@@ -106,15 +106,28 @@ class FusedDenoisePipeline:
             "bf16" if compute_dtype == "bfloat16" else "f32")
         self.cfg = cfg
         self.threshold = threshold
+        # the bf16 serving profile also takes the bf16 head projection
+        # (same knob as int8; certified on trained checkpoints). The f32
+        # profile NEVER does — it is the reference-exact one.
+        float_head_bf16 = bf16_head_proj and self.profile == "bf16"
         self.detector = SilenceDetector(cfg.detector,
-                                        compute_dtype=compute_dtype)
+                                        compute_dtype=compute_dtype,
+                                        bf16_head_proj=float_head_bf16)
         self.denoiser = JointDenoiser(cfg.denoiser,
-                                      compute_dtype=compute_dtype)
+                                      compute_dtype=compute_dtype,
+                                      bf16_head_proj=float_head_bf16)
         self.detector_vars = detector_vars
         self.denoiser_vars = denoiser_vars
         self.clip_samples = int(clip_seconds * cfg.data.sample_rate)
         self.num_frames = int(clip_seconds * cfg.data.frame_rate)
         self._calibration_path = calibration_path
+        # serializes first-batch int8 calibration: with the r5 pipelined
+        # serve path, dispatches run concurrently from the main loop and
+        # the writer's finalize thread — two uncalibrated entries racing
+        # would each fold scales and retrace
+        import threading
+
+        self._calibration_lock = threading.Lock()
         # set by shard(): a NamedSharding committing the batch dim over a
         # mesh; applied to EVERY entry point's array inputs (__call__,
         # detect_bits, denoise_with_bits) so StreamingDenoiser's
@@ -400,6 +413,12 @@ class FusedDenoisePipeline:
     def _maybe_calibrate(self, mixed) -> None:
         if self._quant is None or self._quant._calibrated:
             return
+        with self._calibration_lock:
+            if self._quant._calibrated:  # lost the race: already done
+                return
+            self._calibrate_locked(mixed)
+
+    def _calibrate_locked(self, mixed) -> None:
         import json
         import os
         import tempfile

@@ -39,6 +39,7 @@ def evaluate_synthetic(
     profile: Optional[str] = None,
     noisy_baseline: bool = False,
     quant_kwargs: Optional[Dict] = None,
+    bf16_head_proj: bool = True,
 ) -> OrderedDict:
     """Run batched mix->denoise->metrics; returns avg_* aggregates.
 
@@ -59,12 +60,19 @@ def evaluate_synthetic(
     for the int8 profile (e.g. bf16_head_proj=False to certify the head
     projection's quality delta on a trained checkpoint —
     experiments/bf16_head_trained_cert.py).
+
+    `bf16_head_proj` applies to the bf16 profile (matching serving,
+    fused.py: bf16 trunks + bf16 LSTM input projection as of r5); pass
+    False to evaluate the pre-r5 exact-f32-head bf16 profile. The f32
+    profile is never affected.
     """
     if profile in ("f32", None):
         compute_dtype = "float32"
     elif profile == "bf16":
         compute_dtype = "bfloat16"
-    model = JointDenoiser(cfg.denoiser, compute_dtype=compute_dtype)
+    model = JointDenoiser(cfg.denoiser, compute_dtype=compute_dtype,
+                          bf16_head_proj=(profile == "bf16"
+                                          and bf16_head_proj))
     scfg = cfg.stft
     quant = None
     if profile == "int8":

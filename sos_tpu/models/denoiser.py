@@ -122,6 +122,8 @@ class ContextAggNet(nn.Module):
     cfg: DenoiserModelConfig = DenoiserModelConfig()
     compute_dtype: str = "float32"
     remat: bool = False
+    # bf16 LSTM input projection (see SilenceDetector.bf16_head_proj)
+    bf16_head_proj: bool = False
 
     def _encoder(self, x, nf, outf, prefix, train, valid_t=None):
         cfg = self.cfg
@@ -154,7 +156,8 @@ class ContextAggNet(nn.Module):
         f_n = self._encoder(noise_pred, cfg.nf_noise, cfg.outf_noise,
                             "enc_n", train, valid_t)
         h = jnp.concatenate([f_x, f_n], axis=-1)  # (B, T, 12*F/4... = 3072)
-        h = BiLSTM(hidden=cfg.lstm_hidden, name="lstm")(
+        h = BiLSTM(hidden=cfg.lstm_hidden, name="lstm",
+                   bf16_proj=self.bf16_head_proj)(
             h, valid_len=valid_t)  # (B, T, 400)
         h = nn.relu(TorchLinear(cfg.fc_hidden, name="fc0")(h))
         h = nn.relu(TorchLinear(cfg.fc_hidden, name="fc1")(h))
@@ -171,6 +174,8 @@ class JointDenoiser(nn.Module):
     cfg: DenoiserModelConfig = DenoiserModelConfig()
     compute_dtype: str = "float32"
     remat: bool = False
+    # bf16 LSTM input projection (see SilenceDetector.bf16_head_proj)
+    bf16_head_proj: bool = False
 
     def setup(self):
         self.inpaint = InpaintNet(channels=self.cfg.inpaint_ch,
@@ -178,7 +183,8 @@ class JointDenoiser(nn.Module):
                                   remat=self.remat)
         self.context = ContextAggNet(cfg=self.cfg,
                                      compute_dtype=self.compute_dtype,
-                                     remat=self.remat)
+                                     remat=self.remat,
+                                     bf16_head_proj=self.bf16_head_proj)
 
     def __call__(self, mixed: jnp.ndarray, gated_noise: jnp.ndarray,
                  train: bool = False, valid_t=None):

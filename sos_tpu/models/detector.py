@@ -29,6 +29,13 @@ class SilenceDetector(nn.Module):
 
     compute_dtype: str = "float32"
     remat: bool = False  # per-block rematerialization (training memory)
+    # bf16 LSTM input projection (ops/lstm.py BiLSTM.bf16_proj): the
+    # hoisted (T*B, C*F) x (C*F, 4H) matmul rides the MXU at ~6x the
+    # f32-HIGHEST rate; the recurrence stays exact f32. Default off —
+    # the f32 profile and training keep reference-exact numerics; the
+    # bf16/int8 serving profiles enable it (drift certified on trained
+    # checkpoints, docs/EXPERIMENTS.md).
+    bf16_head_proj: bool = False
 
     @nn.compact
     def __call__(
@@ -89,7 +96,8 @@ class SilenceDetector(nn.Module):
             x = jnp.take(x, idx, axis=1)
         x = x.astype(jnp.float32)
 
-        x = BiLSTM(hidden=cfg.lstm_hidden, name="lstm")(
+        x = BiLSTM(hidden=cfg.lstm_hidden, name="lstm",
+                   bf16_proj=self.bf16_head_proj)(
             x, valid_len=valid_frames)  # (B, frames, 2H)
         x = TorchLinear(cfg.fc_hidden, name="fc1")(x)
         x = nn.relu(x)
