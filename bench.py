@@ -248,6 +248,38 @@ def main() -> None:
     profiles["two_stage"] = _measure(scan_bench(step_two_stage),
                                      (stack2, mask[:1]), audio_sec2, iters)
 
+    # --- float two-stage profiles (VERDICT r4 #2a) -----------------------
+    # The SAME production program at float precision, at the float sweet
+    # spot batch 128 (experiments/float_two_stage_results.json: f32
+    # craters to 218 @256 and bf16 loses 15% — the float activations'
+    # HBM working set at 256 outweighs the detector amortization that
+    # makes 256 win for int8). two_stage_bf16 carries the bf16 LSTM
+    # input projection — the serving default for the bf16 profile
+    # (infer/fused.py) — and clears the 500x north star without int8
+    # (544.5 measured r5); two_stage_f32 is reference-exact end to end
+    # (speed-of-light per experiments/f32_roofline_results.json).
+    for name, dtype, bf16h in (("two_stage_f32", "float32", False),
+                               ("two_stage_bf16", "bfloat16", True)):
+        det_f = SilenceDetector(cfg.detector, compute_dtype=dtype,
+                                bf16_head_proj=bf16h)
+        den_f = JointDenoiser(cfg.denoiser, compute_dtype=dtype,
+                              bf16_head_proj=bf16h)
+
+        def step_float2s(mixed, _unused, det_f=det_f, den_f=den_f):
+            mixed_stft = stft(mixed)
+            logits = det_f.apply(det_vars, mixed_stft,
+                                 num_frames=num_frames, train=False)
+            bits = (jax.nn.sigmoid(logits) >= 0.5).astype(jnp.float32)
+            smask = bitstream_to_sample_mask(bits, ratio, samples,
+                                             cfg.data.despeckle_min_run)
+            gated_stft = stft(mixed * smask)
+            _, crm = den_f.apply(variables, mixed_stft, gated_stft,
+                                 train=False)
+            return istft(apply_compressed_crm(mixed_stft, crm))
+
+        profiles[name] = _measure(scan_bench(step_float2s),
+                                  (stack, mask[:1]), audio_sec, iters)
+
     headline = profiles["two_stage"]["median"]
     print(json.dumps({
         "metric": "two_stage_denoise_throughput",
