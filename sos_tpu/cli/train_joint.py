@@ -29,7 +29,7 @@ def main() -> None:
     args = parser.parse_args()
     pid, nproc = setup_distributed(args)
     cfg = config_from_args(args, stage="joint")
-    _, _, det_model_dir = experiment_dirs(cfg, "detector")
+    _, det_log_dir, det_model_dir = experiment_dirs(cfg, "detector")
     _, _, den_model_dir = experiment_dirs(cfg, "denoiser")
 
     train_idx = DatasetIndex.load(args.dataset_json)
@@ -63,22 +63,40 @@ def main() -> None:
                 num_devices -= 1
     mesh = make_mesh(num_devices=num_devices)
     from sos_tpu.parallel import distributed
-    with mesh:
-        det_state = distributed.replicate(det_state, replicated(mesh))
-        den_state = distributed.replicate(den_state, replicated(mesh))
-        for epoch in range(cfg.train.nr_epochs):
-            batcher.set_epoch(epoch)
-            for batch in batcher:
-                det_state, den_state, metrics = step(
-                    det_state, den_state, shard_batch(batch, mesh))
-                if clock.step % 10 == 0:
-                    print(f"step {clock.step}: "
-                          f"det={float(metrics['detector_loss']):.4f} "
-                          f"den={float(metrics['denoiser_loss']):.4f}")
-                clock.tick()
-            clock.tock()
-            det_mgr.save_epoch(det_state, clock)
-            den_mgr.save_epoch(den_state, clock)
+    from sos_tpu.train.fit import MetricsLog
+    from sos_tpu.utils.meters import StepTimer
+
+    # the joint run's durable log lives under the detector stage dir
+    # (either stage dir would do; report --train_log picks it up there)
+    jsonl = MetricsLog(det_log_dir)
+    timer = StepTimer()
+    try:
+        with mesh:
+            det_state = distributed.replicate(det_state, replicated(mesh))
+            den_state = distributed.replicate(den_state, replicated(mesh))
+            for epoch in range(cfg.train.nr_epochs):
+                batcher.set_epoch(epoch)
+                for batch in batcher:
+                    timer.start()
+                    det_state, den_state, metrics = step(
+                        det_state, den_state, shard_batch(batch, mesh))
+                    timer.stop()
+                    if clock.step % 10 == 0:
+                        det_loss = float(metrics["detector_loss"])
+                        den_loss = float(metrics["denoiser_loss"])
+                        print(f"step {clock.step}: det={det_loss:.4f} "
+                              f"den={den_loss:.4f}")
+                        jsonl.write("train", clock.step, epoch,
+                                    dict(detector_loss=det_loss,
+                                         denoiser_loss=den_loss,
+                                         steps_per_sec=timer.steps_per_sec))
+                    clock.tick()
+                clock.tock()
+                det_mgr.save_epoch(det_state, clock)
+                den_mgr.save_epoch(den_state, clock)
+                jsonl.write("epoch", clock.step, epoch, {})
+    finally:
+        jsonl.close()
     print("joint training complete")
 
 

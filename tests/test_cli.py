@@ -795,3 +795,36 @@ def test_cli_doctor(tmp_path, monkeypatch, capsys):
     assert checks["experiment/detector"] == "FAIL"
     assert checks["experiment/denoiser"] == "FAIL"
     assert checks["experiment/int8-calibration"] == "warn"
+
+
+def test_cli_train_joint_writes_metrics_log(cli_env, monkeypatch):
+    """train_joint trains both stages in one step AND (r5) leaves the
+    same durable metrics.jsonl observability trail fit() does, under
+    the detector stage's log dir."""
+    import json as _json
+
+    _ensure_trained(cli_env, monkeypatch)
+    from sos_tpu.cli import train_joint
+
+    root = cli_env["root"]
+    out_root = str(root / "model_output")
+    _run(train_joint.main,
+         ["--dataset_json", str(root / "ds.json"), "--noise_root",
+          cli_env["noise_dir"], "--output_root", out_root,
+          "--config_json", cli_env["cfg"], "--name", "tinyj",
+          "--epochs", "1"], monkeypatch)
+
+    for stage in ("detector", "denoiser"):
+        assert os.path.isdir(os.path.join(
+            out_root, f"tinyj_{stage}", "model", "latest")), stage
+
+    log = os.path.join(out_root, "tinyj_detector", "log", "metrics.jsonl")
+    rows = [_json.loads(l) for l in open(log)]
+    train_rows = [r for r in rows if r["kind"] == "train"]
+    assert train_rows, rows
+    for r in train_rows:
+        assert {"detector_loss", "denoiser_loss",
+                "steps_per_sec"} <= set(r)
+        assert np.isfinite(r["detector_loss"])
+        assert np.isfinite(r["denoiser_loss"])
+    assert any(r["kind"] == "epoch" for r in rows)
