@@ -108,23 +108,27 @@ def main() -> None:
                      "(TPU tunnel wedged); re-run when the backend "
                      "recovers",
             # NOT this run's numbers: the committed artifact
-            # experiments/bench_r4_snapshot.json (2026-08-19, v5e via
+            # experiments/bench_r5_snapshot.json (2026-08-20, v5e via
             # tunnel) — the last healthy run of this exact script,
             # quoted verbatim so the fallback payload is traceable.
             # Same {"profiles": {name: {median, spread}}} shape as the
             # healthy path so consumers parse ONE schema.
             "last_recorded": {
-                "source": "experiments/bench_r4_snapshot.json",
-                "vs_baseline": 2.0182,
+                "source": "experiments/bench_r5_snapshot.json",
+                "vs_baseline": 2.0181,
                 "profiles": {
-                    "two_stage": {"median": 1009.09,
-                                  "spread": [994.74, 1009.44]},
-                    "int8": {"median": 1143.02,
-                             "spread": [1142.83, 1146.43]},
-                    "bf16": {"median": 599.82,
-                             "spread": [599.74, 600.2]},
-                    "f32": {"median": 445.12,
-                            "spread": [444.9, 445.21]},
+                    "two_stage": {"median": 1009.03,
+                                  "spread": [1007.64, 1009.29]},
+                    "int8": {"median": 1142.76,
+                             "spread": [1136.46, 1144.61]},
+                    "bf16": {"median": 599.48,
+                             "spread": [592.12, 599.54]},
+                    "f32": {"median": 445.16,
+                            "spread": [445.07, 445.37]},
+                    "two_stage_bf16": {"median": 542.51,
+                                       "spread": [539.95, 542.98]},
+                    "two_stage_f32": {"median": 390.25,
+                                      "spread": [389.4, 390.5]},
                 },
             },
         }), flush=True)
