@@ -29,6 +29,16 @@ the leading half of chunk i+1's overlap takes chunk i's decision for the
 same absolute time, where chunk i saw it with full left context) — and
 only then denoises with the reconciled bits, so both sides of every
 crossfade gate the same silence decisions.
+
+Geometry guidance (measured on trained checkpoints, 40-clip corpus,
+docs/EXPERIMENTS.md "streamed-vs-whole" sections): at moderate SNR
+(0 dB) every geometry from 2 s/0.5 s up is metric-neutral vs
+whole-utterance denoising (|dPESQ| <= 0.0032). At very low SNR
+(-10 dB) the detector needs more temporal context than a 2 s chunk
+provides (two-pass dPESQ -0.053, dSTOI -0.012); `chunk_seconds=6.0,
+overlap_seconds=1.0` restores parity (two-pass dPESQ -0.009, dSTOI
++0.0003). For material expected below ~-5 dB SNR, prefer >= 6 s chunks
+and keep the default two-pass `consistent_boundaries`.
 """
 
 from __future__ import annotations
