@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--snr", type=float, default=0.0)
     ap.add_argument("--chunk_seconds", type=float, default=2.0)
     ap.add_argument("--overlap_seconds", type=float, default=0.5)
+    ap.add_argument("--detector_context_seconds", type=float, default=None,
+                    help="detector-context halo for the two_pass mode "
+                         "(one_pass cannot use it: single fused program)")
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--config_json", type=str, default=None,
                     help="ExperimentConfig JSON (tiny configs for smoke "
@@ -79,6 +82,7 @@ def main() -> None:
         "two_pass": StreamingDenoiser(
             cfg, det_vars, den_vars, chunk_seconds=args.chunk_seconds,
             overlap_seconds=args.overlap_seconds,
+            detector_context_seconds=args.detector_context_seconds,
             consistent_boundaries=True),
         "one_pass": StreamingDenoiser(
             cfg, det_vars, den_vars, chunk_seconds=args.chunk_seconds,
@@ -131,6 +135,7 @@ def main() -> None:
                          for k in rows[0]}
     result = {"snr": args.snr, "chunk_seconds": args.chunk_seconds,
               "overlap_seconds": args.overlap_seconds,
+              "detector_context_seconds": args.detector_context_seconds,
               "clips": len(index.files), "summary": summary,
               "per_clip": agg}
     with open(args.out, "w") as fp:

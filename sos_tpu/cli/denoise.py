@@ -50,6 +50,14 @@ def main() -> None:
     parser.add_argument("--denoiser_pth", type=str, default=None)
     parser.add_argument("--chunk_seconds", type=float, default=2.0)
     parser.add_argument("--overlap_seconds", type=float, default=0.5)
+    parser.add_argument("--detector_context_seconds", type=float,
+                        default=None,
+                        help="total detector window per chunk "
+                             "(two-pass mode): > chunk_seconds "
+                             "prepends left context for low-SNR "
+                             "detection without changing chunk "
+                             "latency (e.g. 6.0 below ~-5 dB SNR "
+                             "-- docs/EXPERIMENTS.md)")
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--bf16", action="store_true",
                         help="shorthand for --profile bf16")
@@ -101,6 +109,7 @@ def main() -> None:
                                      args.calibration_json)
     stream = StreamingDenoiser(
         cfg, det_vars, den_vars, chunk_seconds=args.chunk_seconds,
+        detector_context_seconds=args.detector_context_seconds,
         overlap_seconds=args.overlap_seconds, threshold=args.threshold,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         profile=profile, calibration_path=calib,

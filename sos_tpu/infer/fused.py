@@ -244,10 +244,24 @@ class FusedDenoisePipeline:
         scfg = cfg.stft
         ratio = cfg.data.sample_rate / cfg.data.frame_rate
         clip_samples = self.clip_samples
-        num_frames = self.num_frames
         threshold = self.threshold
         detector, denoiser = self.detector, self.denoiser
         emit = _wire_out if self.wire_dtype == "int16" else (lambda y: y)
+
+        # Detection windows may be LONGER than clip_samples (the
+        # StreamingDenoiser detector-context halo prepends left context
+        # so low-SNR detection sees more history than one chunk) — the
+        # bit count follows the traced input length (static under jit:
+        # a new window length is just another cached program shape).
+        # The standard shape keeps the pinned num_frames verbatim, so
+        # no existing program can change by a rounding edge case.
+        num_frames = self.num_frames
+
+        def _nf(n_samples: int) -> int:
+            if n_samples == clip_samples:
+                return num_frames
+            return int(round(n_samples * cfg.data.frame_rate
+                             / cfg.data.sample_rate))
 
         quant_det = self._quant_det
 
@@ -261,7 +275,8 @@ class FusedDenoisePipeline:
                 mixed = _wire_in(mixed)
                 mr, mi = _sp(mixed, scfg.n_fft, scfg.hop_length,
                              scfg.win_length)
-                logits = quant_det.logits_packed(mr, mi, num_frames)
+                logits = quant_det.logits_packed(mr, mi,
+                                                 _nf(mixed.shape[-1]))
                 return (jax.nn.sigmoid(logits) >= threshold
                         ).astype(jnp.float32)
         else:
@@ -271,7 +286,8 @@ class FusedDenoisePipeline:
                 mixed_stft = stft(mixed, scfg.n_fft, scfg.hop_length,
                                   scfg.win_length)
                 logits = detector.apply(det_vars, mixed_stft,
-                                        num_frames=num_frames, train=False)
+                                        num_frames=_nf(mixed.shape[-1]),
+                                        train=False)
                 return (jax.nn.sigmoid(logits) >= threshold
                         ).astype(jnp.float32)
 
@@ -315,7 +331,11 @@ class FusedDenoisePipeline:
         return detect, denoise_bits
 
     def detect_bits(self, mixed: jnp.ndarray) -> jnp.ndarray:
-        """(B, clip_samples) -> thresholded bits (B, num_frames)."""
+        """(B, n) -> thresholded bits (B, round(n * frame_rate / sr)).
+
+        n is normally clip_samples (bits == num_frames); the streaming
+        detector-context halo passes longer windows (chunk + left
+        context) and crops the leading context frames itself."""
         self._maybe_calibrate(mixed)
         if not hasattr(self, "_detect"):
             self._detect, self._denoise_bits = self._build_split()

@@ -61,7 +61,8 @@ class StreamingDenoiser:
                  consistent_boundaries: bool = True, profile: str = None,
                  calibration_path: str = None,
                  transfer_dtype: str = "float32",
-                 pipeline_depth: int = 2, bf16_head_proj: bool = True):
+                 pipeline_depth: int = 2, bf16_head_proj: bool = True,
+                 detector_context_seconds: float = None):
         """`transfer_dtype="int16"` ships waveform chunks to the device
         and denoised audio back as int16 wire samples (fused.py wire
         format): HALF the transfer bytes each way — the dominant serving
@@ -84,7 +85,21 @@ class StreamingDenoiser:
         flight on the device at once (see `_batched_async`). Depth 2 is
         enough to overlap bucket N+1's host->device transfer with
         bucket N's compute; each extra unit of depth holds one more
-        input+output bucket in HBM (~30 MB at the nominal geometry)."""
+        input+output bucket in HBM (~30 MB at the nominal geometry).
+
+        `detector_context_seconds` (two-pass mode only): total window
+        the DETECTOR sees per chunk. When > chunk_seconds, detection
+        windows prepend `detector_context_seconds - chunk_seconds` of
+        real left context (zeros before the utterance head) and the
+        leading context frames are cropped before reconciliation — the
+        denoiser still runs on chunk_seconds chunks, so latency and the
+        compiled denoise program are unchanged while low-SNR detection
+        regains the temporal context a short chunk lacks (the -10 dB
+        geometry finding in the module docstring) at the cost of
+        detector FLOPs only (~12% of the fused program per context
+        multiple). Must satisfy: the context excess is a whole number
+        of detector frames AND samples (multiples of 0.1 s at the
+        reference 14 kHz / 30 fps rates)."""
         if transfer_dtype not in ("float32", "int16"):
             raise ValueError(f"transfer_dtype must be float32|int16, "
                              f"got {transfer_dtype!r}")
@@ -117,6 +132,48 @@ class StreamingDenoiser:
         self.consistent_boundaries = consistent_boundaries
         assert pipeline_depth >= 1, pipeline_depth
         self.pipeline_depth = pipeline_depth
+        # detector-context halo (left context, two-pass mode only)
+        ctx = detector_context_seconds
+        if ctx is None or ctx == chunk_seconds:
+            self.det_halo = 0
+            self.det_halo_frames = 0
+        else:
+            if not consistent_boundaries:
+                raise ValueError(
+                    "detector_context_seconds requires the two-pass "
+                    "consistent_boundaries mode (one-pass denoising is "
+                    "a single fused program with no separate detect)")
+            if ctx < chunk_seconds:
+                raise ValueError(
+                    f"detector_context_seconds={ctx} must be >= "
+                    f"chunk_seconds={chunk_seconds}")
+            halo_s = ctx - chunk_seconds
+            fps = cfg.data.frame_rate
+            halo_frames = halo_s * fps
+            halo_samples = halo_s * sr
+            if (abs(halo_frames - round(halo_frames)) > 1e-6
+                    or abs(halo_samples - round(halo_samples)) > 1e-6):
+                raise ValueError(
+                    f"detector context excess {halo_s}s must be a whole "
+                    f"number of detector frames (x{fps}/s) and samples "
+                    f"(x{sr}/s) so context frames crop exactly")
+            self.det_halo = int(round(halo_samples))
+            self.det_halo_frames = int(round(halo_frames))
+
+    def _det_windows(self, wav: np.ndarray, starts) -> np.ndarray:
+        """Detector-halo windows: chunk i's window covers
+        [start_i - det_halo, start_i + chunk), zero-padded outside the
+        utterance (zeros before the head — the same no-context stimulus
+        the first chunk gets today — and the zero tail the chunk itself
+        is padded with)."""
+        halo = self.det_halo
+        out = np.zeros((len(starts), halo + self.chunk), dtype=np.float32)
+        for i, s in enumerate(starts):
+            lo = s - halo
+            seg = wav[max(0, lo): s + self.chunk]
+            dst = max(0, -lo)
+            out[i, dst: dst + len(seg)] = seg
+        return out
 
     def _weights(self) -> np.ndarray:
         w = np.ones(self.valid, dtype=np.float32)
@@ -170,9 +227,14 @@ class StreamingDenoiser:
             chunks = (rng.standard_normal((w, self.chunk)) * 0.01).astype(
                 np.float32)
             if self.consistent_boundaries:
-                bits = self._batched(self.pipeline.detect_bits, [chunks])
+                det_in = chunks if not self.det_halo else np.concatenate(
+                    [np.zeros((w, self.det_halo), np.float32), chunks],
+                    axis=1)
+                bits = self._batched(self.pipeline.detect_bits, [det_in])
+                bits = np.asarray(bits,
+                                  np.float32)[:, self.det_halo_frames:]
                 self._batched(self.pipeline.denoise_with_bits,
-                              [chunks, np.asarray(bits, np.float32)])
+                              [chunks, bits])
             self._one_pass(chunks)
         return widths
 
@@ -229,11 +291,20 @@ class StreamingDenoiser:
             # host reconciliation, denoise dispatch+fetch and overlap-add
             # all wait inside finalize (reconciliation is a host step, so
             # the second pass cannot be enqueued before the first lands)
+            if self.det_halo:
+                det_stacked = np.concatenate(
+                    [self._det_windows(wav, sl[1])
+                     for wav, sl in zip(waveforms, slices)], axis=0)
+            else:
+                det_stacked = stacked
             detect_fin = self._batched_async(self.pipeline.detect_bits,
-                                             [stacked])
+                                             [det_stacked])
 
             def finalize():
                 bits = detect_fin()
+                if self.det_halo_frames:  # crop the left-context frames
+                    bits = np.ascontiguousarray(
+                        bits[:, self.det_halo_frames:])
                 for r, starts, _ in slices:
                     bits[r:r + len(starts)] = self.reconcile_bits(
                         bits[r:r + len(starts)], starts)
@@ -319,8 +390,10 @@ class StreamingDenoiser:
             # call site passing bits or pre-encoded data first would be
             # silently corrupted by a second encode.
             assert (arrays[0].dtype == np.float32
-                    and arrays[0].shape[-1] == self.chunk), (
-                "wire encode expects f32 waveform chunks first, got "
+                    and arrays[0].shape[-1] in (
+                        self.chunk, self.chunk + self.det_halo)), (
+                "wire encode expects f32 waveform chunks (or detector-"
+                "halo windows) first, got "
                 f"{arrays[0].dtype} {arrays[0].shape}")
             from sos_tpu.infer.fused import wire_encode
 
@@ -407,7 +480,10 @@ class StreamingSession:
     `StreamingDenoiser.denoise` needs the whole waveform up front; this
     session consumes arbitrary-size sample pushes and emits denoised
     audio as soon as every chunk covering it is final, with bounded
-    memory (carried context is O(chunk)) and bounded latency.
+    memory (carried context is O(chunk + detector context halo)) and
+    bounded latency — the detector-context halo looks BACK only, so it
+    improves low-SNR detection without adding a single sample of
+    latency.
 
     Equality contract (pinned by tests/test_infer.py): the concatenation
     of every `push()` return plus `flush()` equals
@@ -469,10 +545,25 @@ class StreamingSession:
                 [seg, np.zeros(self.chunk - len(seg), np.float32)])
         return seg
 
+    def _det_wave(self, k: int) -> np.ndarray:
+        """Chunk k's detector window [k*stride - det_halo, k*stride +
+        chunk): the chunk plus its left-context halo, zero-padded before
+        absolute sample 0 and at the flush-time tail (the same stimulus
+        the offline `_det_windows` builds)."""
+        halo = self.d.det_halo
+        lo = k * self.stride - halo  # absolute window start, may be < 0
+        out = np.zeros(halo + self.chunk, np.float32)
+        a = max(lo, 0)
+        seg = self._buf[a - self._base:
+                        k * self.stride + self.chunk - self._base]
+        out[a - lo: a - lo + len(seg)] = seg
+        return out
+
     def _detect(self, k: int) -> None:
-        bits = self.d._batched(self.d.pipeline.detect_bits,
-                               [self._chunk_wave(k)[None]])
-        self._pending_bits.append(np.asarray(bits[0], np.float32))
+        wave = self._det_wave(k) if self.d.det_halo else self._chunk_wave(k)
+        bits = self.d._batched(self.d.pipeline.detect_bits, [wave[None]])
+        self._pending_bits.append(
+            np.asarray(bits[0], np.float32)[self.d.det_halo_frames:])
         self._next_det = k + 1
         if k > 0:
             # pairwise reconcile (k-1, k): finalizes k-1's bits, edits
@@ -513,8 +604,9 @@ class StreamingSession:
         self._acc[lo: lo + self.valid] += np.asarray(out,
                                                      np.float32) * self._w
         self._wsum[lo: lo + self.valid] += self._w
-        # drop consumed input samples: chunk k+1 starts at (k+1)*stride
-        new_base = (k + 1) * self.stride
+        # drop consumed input samples: chunk k+1 starts at (k+1)*stride,
+        # and its detector window reaches det_halo samples further back
+        new_base = max(0, (k + 1) * self.stride - self.d.det_halo)
         if new_base > self._base:
             self._buf = self._buf[new_base - self._base:]
             self._base = new_base

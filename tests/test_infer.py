@@ -141,6 +141,72 @@ def test_streaming_int16_transfer_matches_f32(tiny, rng):
         StreamingDenoiser(cfg, det_vars, den_vars, transfer_dtype="int8")
 
 
+def test_streaming_detector_context_halo(tiny, rng):
+    """detector_context_seconds: detection windows prepend left context
+    (cropped before reconciliation), the denoiser still runs on plain
+    chunks, lengths/geometry are unchanged, and the incremental session
+    replays the offline halo path exactly."""
+    cfg, det_vars, den_vars = tiny
+    sr = cfg.data.sample_rate
+    kw = dict(chunk_seconds=2.0, overlap_seconds=0.5, batch_chunks=4)
+    base = StreamingDenoiser(cfg, det_vars, den_vars, **kw)
+    halo = StreamingDenoiser(cfg, det_vars, den_vars,
+                             detector_context_seconds=4.0, **kw)
+    assert halo.det_halo == 2 * sr and halo.det_halo_frames == 60
+
+    wav = rng.standard_normal(sr * 7).astype(np.float32) * 0.2
+    out = halo.denoise(wav)
+    assert len(out) == len(wav) and np.isfinite(out).all()
+
+    # window construction: the head window is zero-padded context, an
+    # interior window is literally the preceding audio + the chunk
+    starts = list(range(0, len(wav), halo.stride))
+    wins = halo._det_windows(wav, starts)
+    assert wins.shape == (len(starts), halo.det_halo + halo.chunk)
+    assert not wins[0][: halo.det_halo].any()
+    np.testing.assert_array_equal(wins[0][halo.det_halo:],
+                                  wav[: halo.chunk])
+    s = starts[2]
+    np.testing.assert_array_equal(
+        wins[2], wav[s - halo.det_halo: s + halo.chunk])
+
+    # degenerate context == chunk is EXACTLY the base path
+    same = StreamingDenoiser(cfg, det_vars, den_vars,
+                             detector_context_seconds=2.0, **kw)
+    assert same.det_halo == 0
+    np.testing.assert_array_equal(same.denoise(wav), base.denoise(wav))
+
+    # incremental session == offline halo path (same equality contract
+    # as the no-halo session test; width-1 vs bucketed dispatch may
+    # perturb reductions at the ulp level)
+    from sos_tpu.infer.streaming import StreamingSession
+
+    sess = StreamingSession(halo)
+    outs, i = [], 0
+    rng2 = np.random.default_rng(7)
+    while i < len(wav):
+        n = int(rng2.integers(900, 9000))
+        outs.append(sess.push(wav[i: i + n]))
+        i += n
+    outs.append(sess.flush())
+    got = np.concatenate(outs)
+    ref = halo.denoise(wav)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    # validation: one-pass mode, context < chunk, non-frame-aligned
+    with pytest.raises(ValueError):
+        StreamingDenoiser(cfg, det_vars, den_vars,
+                          detector_context_seconds=4.0,
+                          consistent_boundaries=False, **kw)
+    with pytest.raises(ValueError):
+        StreamingDenoiser(cfg, det_vars, den_vars,
+                          detector_context_seconds=1.0, **kw)
+    with pytest.raises(ValueError):
+        StreamingDenoiser(cfg, det_vars, den_vars,
+                          detector_context_seconds=2.0301, **kw)
+
+
 def test_streaming_long_form(tiny, rng):
     cfg, det_vars, den_vars = tiny
     stream = StreamingDenoiser(cfg, det_vars, den_vars, chunk_seconds=2.0,
