@@ -34,11 +34,14 @@ Geometry guidance (measured on trained checkpoints, 40-clip corpus,
 docs/EXPERIMENTS.md "streamed-vs-whole" sections): at moderate SNR
 (0 dB) every geometry from 2 s/0.5 s up is metric-neutral vs
 whole-utterance denoising (|dPESQ| <= 0.0032). At very low SNR
-(-10 dB) the detector needs more temporal context than a 2 s chunk
+(-10 dB) the models need more temporal context than a 2 s chunk
 provides (two-pass dPESQ -0.053, dSTOI -0.012); `chunk_seconds=6.0,
 overlap_seconds=1.0` restores parity (two-pass dPESQ -0.009, dSTOI
 +0.0003). For material expected below ~-5 dB SNR, prefer >= 6 s chunks
-and keep the default two-pass `consistent_boundaries`.
+and keep the default two-pass `consistent_boundaries`. The
+`detector_context_seconds` halo buys back only ~a quarter of the gap
+(detection's share; the rest is denoiser receptive field) but costs no
+latency — see its parameter docstring.
 """
 
 from __future__ import annotations
@@ -93,13 +96,16 @@ class StreamingDenoiser:
         real left context (zeros before the utterance head) and the
         leading context frames are cropped before reconciliation — the
         denoiser still runs on chunk_seconds chunks, so latency and the
-        compiled denoise program are unchanged while low-SNR detection
-        regains the temporal context a short chunk lacks (the -10 dB
-        geometry finding in the module docstring) at the cost of
-        detector FLOPs only (~12% of the fused program per context
-        multiple). Must satisfy: the context excess is a whole number
-        of detector frames AND samples (multiples of 0.1 s at the
-        reference 14 kHz / 30 fps rates)."""
+        compiled denoise program are unchanged, at the cost of detector
+        FLOPs only (~12% of the fused program per context multiple).
+        Measured at -10 dB on trained checkpoints (docs/EXPERIMENTS.md):
+        a 6 s detector context on 2 s chunks narrows the streamed-PESQ
+        gap ~25% (-0.053 -> -0.040) but does NOT restore parity — most
+        of the short-chunk deficit is DENOISER context, so prefer
+        chunk_seconds >= 6 when latency allows (module-docstring
+        geometry guidance). Must satisfy: the context excess is a whole
+        number of detector frames AND samples (multiples of 0.1 s at
+        the reference 14 kHz / 30 fps rates)."""
         if transfer_dtype not in ("float32", "int16"):
             raise ValueError(f"transfer_dtype must be float32|int16, "
                              f"got {transfer_dtype!r}")
@@ -482,8 +488,9 @@ class StreamingSession:
     audio as soon as every chunk covering it is final, with bounded
     memory (carried context is O(chunk + detector context halo)) and
     bounded latency — the detector-context halo looks BACK only, so it
-    improves low-SNR detection without adding a single sample of
-    latency.
+    adds detector context without adding a single sample of latency
+    (it narrows but does not close the low-SNR short-chunk gap; see
+    the StreamingDenoiser docstring).
 
     Equality contract (pinned by tests/test_infer.py): the concatenation
     of every `push()` return plus `flush()` equals
